@@ -1,0 +1,233 @@
+"""Default configuration schema.
+
+Mirrors the reference yacs schema so the same YAML files merge cleanly:
+* base tree: reference ``FusionTransformer/common/config/base.py:10-122``
+* project overlay: reference ``FusionTransformer/config/FusionTransformerConfig.py:7-144``
+
+TPU-specific additions live under ``TPU`` (static-shape capacities, dtype and
+mesh policy) — the reference has no equivalent because torchsparse handles
+dynamic shapes with GPU hash tables; on TPU we pad to fixed capacities so every
+scan compiles to the same XLA program.
+"""
+
+import os.path as osp
+
+from fusiontransformer_tpu.utils.config import CfgNode as CN
+
+# timm's IMAGENET_DEFAULT_MEAN/STD, inlined (timm is not a dependency here).
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+_C = CN()
+
+# ---------------------------------------------------------------------------- #
+# Resume (reference common/config/base.py:16-20)
+# ---------------------------------------------------------------------------- #
+_C.AUTO_RESUME = True
+_C.RESUME_STATES = True
+_C.RESUME_PATH = ""
+
+# ---------------------------------------------------------------------------- #
+# DataLoader
+# ---------------------------------------------------------------------------- #
+_C.DATALOADER = CN()
+_C.DATALOADER.NUM_WORKERS = 0
+_C.DATALOADER.DROP_LAST = True
+
+# ---------------------------------------------------------------------------- #
+# Optimizer (reference common/config/base.py:40-56)
+# ---------------------------------------------------------------------------- #
+_C.OPTIMIZER = CN()
+_C.OPTIMIZER.TYPE = ""
+_C.OPTIMIZER.BASE_LR = 0.001
+_C.OPTIMIZER.WEIGHT_DECAY = 0.0
+
+_C.OPTIMIZER.SGD = CN()
+_C.OPTIMIZER.SGD.momentum = 0.9
+_C.OPTIMIZER.SGD.dampening = 0.0
+
+_C.OPTIMIZER.Adam = CN()
+_C.OPTIMIZER.Adam.betas = (0.9, 0.999)
+
+# ---------------------------------------------------------------------------- #
+# Scheduler (reference common/config/base.py:61-75)
+# ---------------------------------------------------------------------------- #
+_C.SCHEDULER = CN()
+_C.SCHEDULER.TYPE = ""
+_C.SCHEDULER.MAX_EPOCH = 1
+_C.SCHEDULER.CLIP_LR = 0.0
+
+_C.SCHEDULER.StepLR = CN()
+_C.SCHEDULER.StepLR.step_size = 0
+_C.SCHEDULER.StepLR.gamma = 0.1
+
+_C.SCHEDULER.MultiStepLR = CN()
+_C.SCHEDULER.MultiStepLR.milestones = ()
+_C.SCHEDULER.MultiStepLR.gamma = 0.1
+
+# ---------------------------------------------------------------------------- #
+# Train (reference common/config/base.py:80-96 + project overlay)
+# ---------------------------------------------------------------------------- #
+_C.TRAIN = CN()
+_C.TRAIN.BATCH_SIZE = 1
+_C.TRAIN.CHECKPOINT_PERIOD = 0
+_C.TRAIN.LOG_PERIOD = 50
+_C.TRAIN.SUMMARY_PERIOD = 0
+_C.TRAIN.MAX_TO_KEEP = 100
+_C.TRAIN.FROZEN_PATTERNS = ()
+_C.TRAIN.LOG_HISTOGRAM = False
+_C.TRAIN.CLASS_WEIGHTS = []
+
+_C.TRAIN.FusionTransformer = CN()
+_C.TRAIN.FusionTransformer.lambda_xm = 0.0
+
+# ---------------------------------------------------------------------------- #
+# Val / Test
+# ---------------------------------------------------------------------------- #
+_C.VAL = CN()
+_C.VAL.BATCH_SIZE = 1
+_C.VAL.PERIOD = 0
+_C.VAL.LOG_PERIOD = 20
+_C.VAL.METRIC = "seg_iou"
+
+_C.TEST = CN()
+_C.TEST.BATCH_SIZE = 1
+
+# ---------------------------------------------------------------------------- #
+# Datasets (reference FusionTransformerConfig.py:24-120)
+# ---------------------------------------------------------------------------- #
+_C.DATASET = CN()
+_C.DATASET.TYPE = ""
+_C.DATASET.TRAIN = tuple()
+_C.DATASET.VAL = tuple()
+_C.DATASET.TEST = tuple()
+
+# SemanticKITTISCN
+_C.DATASET.SemanticKITTISCN = CN()
+_C.DATASET.SemanticKITTISCN.preprocess_dir = ""
+_C.DATASET.SemanticKITTISCN.semantic_kitti_dir = ""
+_C.DATASET.SemanticKITTISCN.scale = 20
+_C.DATASET.SemanticKITTISCN.full_scale = 4096
+_C.DATASET.SemanticKITTISCN.image_normalizer = (
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+)
+_C.DATASET.SemanticKITTISCN.image_width = 1226
+_C.DATASET.SemanticKITTISCN.image_height = 370
+_C.DATASET.SemanticKITTISCN.debug = False
+_C.DATASET.SemanticKITTISCN.augmentation = CN()
+_C.DATASET.SemanticKITTISCN.augmentation.noisy_rot = 0.0
+_C.DATASET.SemanticKITTISCN.augmentation.flip_y = 0.0
+_C.DATASET.SemanticKITTISCN.augmentation.rot_z = 0.0
+_C.DATASET.SemanticKITTISCN.augmentation.transl = False
+_C.DATASET.SemanticKITTISCN.augmentation.bottom_crop = None
+_C.DATASET.SemanticKITTISCN.augmentation.fliplr = None
+_C.DATASET.SemanticKITTISCN.augmentation.color_jitter = None
+
+# DebugSemanticKITTISCN (tiny-dataset fixture, reference FusionTransformerConfig.py:100-120)
+_C.DATASET.DebugSemanticKITTISCN = CN()
+_C.DATASET.DebugSemanticKITTISCN.preprocess_dir = ""
+_C.DATASET.DebugSemanticKITTISCN.semantic_kitti_dir = ""
+_C.DATASET.DebugSemanticKITTISCN.scale = 20
+_C.DATASET.DebugSemanticKITTISCN.full_scale = 4096
+_C.DATASET.DebugSemanticKITTISCN.image_normalizer = (
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+)
+_C.DATASET.DebugSemanticKITTISCN.image_width = 1226
+_C.DATASET.DebugSemanticKITTISCN.image_height = 370
+_C.DATASET.DebugSemanticKITTISCN.debug = False
+_C.DATASET.DebugSemanticKITTISCN.augmentation = CN()
+_C.DATASET.DebugSemanticKITTISCN.augmentation.noisy_rot = 0.0
+_C.DATASET.DebugSemanticKITTISCN.augmentation.flip_y = 0.0
+_C.DATASET.DebugSemanticKITTISCN.augmentation.rot_z = 0.0
+_C.DATASET.DebugSemanticKITTISCN.augmentation.transl = False
+_C.DATASET.DebugSemanticKITTISCN.augmentation.bottom_crop = None
+_C.DATASET.DebugSemanticKITTISCN.augmentation.fliplr = None
+_C.DATASET.DebugSemanticKITTISCN.augmentation.color_jitter = None
+
+# SyntheticSCN — in-memory random-scan fixture (no reference equivalent; this
+# replaces the reference's on-disk DebugDataset for hermetic tests).
+_C.DATASET.SyntheticSCN = CN()
+_C.DATASET.SyntheticSCN.num_scans = 8
+_C.DATASET.SyntheticSCN.num_points = 4096
+_C.DATASET.SyntheticSCN.scale = 20
+_C.DATASET.SyntheticSCN.full_scale = 4096
+_C.DATASET.SyntheticSCN.image_width = 1226
+_C.DATASET.SyntheticSCN.image_height = 370
+_C.DATASET.SyntheticSCN.image_normalizer = (
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+)
+_C.DATASET.SyntheticSCN.seed = 0
+_C.DATASET.SyntheticSCN.augmentation = CN()
+_C.DATASET.SyntheticSCN.augmentation.noisy_rot = 0.0
+_C.DATASET.SyntheticSCN.augmentation.flip_y = 0.0
+_C.DATASET.SyntheticSCN.augmentation.rot_z = 0.0
+_C.DATASET.SyntheticSCN.augmentation.transl = False
+_C.DATASET.SyntheticSCN.augmentation.bottom_crop = None
+_C.DATASET.SyntheticSCN.augmentation.fliplr = None
+_C.DATASET.SyntheticSCN.augmentation.color_jitter = None
+
+# NuScenesSCN (reference data/nuscenes/nuscenes_dataloader.py:111-246; the
+# rebuild feeds 4-ch feats to SPVCNN — see SURVEY.md §7 step 8)
+_C.DATASET.NuScenesSCN = CN()
+_C.DATASET.NuScenesSCN.preprocess_dir = ""
+_C.DATASET.NuScenesSCN.nuscenes_dir = ""
+_C.DATASET.NuScenesSCN.merge_classes = False
+_C.DATASET.NuScenesSCN.pselab_paths = ()
+_C.DATASET.NuScenesSCN.scale = 20
+_C.DATASET.NuScenesSCN.full_scale = 4096
+_C.DATASET.NuScenesSCN.resize = (400, 225)
+_C.DATASET.NuScenesSCN.image_normalizer = ()
+_C.DATASET.NuScenesSCN.augmentation = CN()
+_C.DATASET.NuScenesSCN.augmentation.noisy_rot = 0.0
+_C.DATASET.NuScenesSCN.augmentation.flip_x = 0.0
+_C.DATASET.NuScenesSCN.augmentation.rot_z = 0.0
+_C.DATASET.NuScenesSCN.augmentation.transl = False
+_C.DATASET.NuScenesSCN.augmentation.fliplr = 0.0
+_C.DATASET.NuScenesSCN.augmentation.color_jitter = None
+
+# ---------------------------------------------------------------------------- #
+# Model (reference FusionTransformerConfig.py:124-139)
+# ---------------------------------------------------------------------------- #
+_C.MODEL = CN()
+_C.MODEL.TYPE = ""
+_C.MODEL.SAVE = True
+_C.MODEL.CKPT_PATH = ""
+_C.MODEL.NUM_CLASSES = 20
+_C.MODEL.DUAL_HEAD = False
+_C.MODEL.USE_IMAGE = False
+_C.MODEL.USE_LIDAR = False
+_C.MODEL.USE_FUSION = False
+_C.MODEL.IMAGE_PRETRAINED_PATH = ""
+_C.MODEL.middle_feat_block_number = None
+_C.MODEL.late_feat_block_number = None
+
+# ---------------------------------------------------------------------------- #
+# TPU-specific (no reference equivalent)
+# ---------------------------------------------------------------------------- #
+_C.TPU = CN()
+# Per-scan point/voxel capacity (level 0). Batches allocate BATCH_SIZE * cap.
+_C.TPU.POINT_CAPACITY = 32768
+# Capacity fraction per downsample level relative to previous level.
+_C.TPU.LEVEL_CAPACITY_FRACTIONS = (0.55, 0.55, 0.55, 0.55)
+# Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Data-parallel mesh size (1 = single chip). 0 = use all visible devices.
+_C.TPU.NUM_DEVICES = 0
+# Remat (checkpoint) the ViT blocks to save HBM during training.
+_C.TPU.REMAT_VIT = False
+
+# ---------------------------------------------------------------------------- #
+# Misc
+# ---------------------------------------------------------------------------- #
+_C.OUTPUT_DIR = osp.expanduser("../logs/FusionTransformer/@")
+_C.RNG_SEED = 1
+
+cfg = _C
+
+
+def get_default_cfg():
+    """Return a fresh (defrosted) clone of the default config tree."""
+    return _C.clone()

@@ -1,0 +1,231 @@
+"""Numeric parity tests for the sparse-op layer against dense NumPy/XLA oracles.
+
+Strategy (SURVEY.md §4 implications): scatter sparse voxels into a small dense
+grid, run a dense convolution, and compare values at the sparse coordinate
+sets produced by ops.hierarchy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusiontransformer_tpu.ops import keys as K
+from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+from fusiontransformer_tpu.ops import sparse_conv as sc
+
+GRID = 16  # small dense grid for oracles; coords kept in [1, GRID-1)
+
+
+def _random_scene(rng, n_scans=2, n_pts=120, cap=256):
+    """Random unique voxel coords per scan, padded to cap."""
+    coords = np.zeros((cap, 3), np.int32)
+    batch = np.zeros((cap,), np.int32)
+    valid = np.zeros((cap,), bool)
+    feats = rng.randn(cap, 4).astype(np.float32)
+    pos = 0
+    for b in range(n_scans):
+        pts = rng.randint(1, GRID - 1, size=(n_pts, 3))
+        pts = np.unique(pts, axis=0)
+        rng.shuffle(pts)
+        k = len(pts)
+        coords[pos:pos + k] = pts
+        batch[pos:pos + k] = b
+        valid[pos:pos + k] = True
+        pos += k
+    feats[~valid] = 0.0
+    return coords, batch, valid, feats
+
+
+_JIT_BUILD = jax.jit(build_hierarchy, static_argnums=(3, 4, 5))
+
+_CACHE = {}
+
+
+def _build(coords, batch, valid, caps=(256, 256, 192, 128, 64)):
+    key = (coords.tobytes(), caps)
+    if key not in _CACHE:
+        _CACHE[key] = jax.tree_util.tree_map(
+            np.asarray, _JIT_BUILD(coords, batch, valid, caps))
+    return _CACHE[key]
+
+
+def test_level0_sort_roundtrip(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    l0 = h.levels[0]
+    n = int(l0.nvalid)
+    assert n == valid.sum()
+    # Sorted keys strictly increasing over valid region (inputs unique per scan).
+    hi = np.asarray(l0.key_hi)[:n]
+    lo = np.asarray(l0.key_lo)[:n]
+    key = hi.astype(np.int64) * (1 << 24) + lo.astype(np.int64)
+    assert np.all(np.diff(key) > 0)
+    # Round trip point -> slot -> point.
+    pos = np.asarray(h.pt_sorted_pos)
+    pt_idx = np.asarray(h.vox0_point_idx)
+    for i in np.where(valid)[0]:
+        assert pt_idx[pos[i]] == i
+    # Coordinates at slots match.
+    np.testing.assert_array_equal(
+        np.asarray(l0.coords)[pos[valid]], coords[valid])
+
+
+def test_downsample_levels_match_numpy(rng):
+    coords, batch, valid, _ = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    cur = {(b, *c) for b, c in zip(batch[valid], coords[valid] // 1)}
+    for l in range(1, 5):
+        expected = {(b, x >> 1, y >> 1, z >> 1) for (b, x, y, z) in cur}
+        lvl = h.levels[l]
+        n = int(lvl.nvalid)
+        got = {(int(b), *map(int, c))
+               for b, c in zip(np.asarray(lvl.batch)[:n], np.asarray(lvl.coords)[:n])}
+        assert got == expected, f"level {l} coords mismatch"
+        cur = expected
+
+
+def test_subm_conv3_vs_dense(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    l0 = h.levels[0]
+    cin, cout = 4, 8
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    # Sparse path (float32 compute so the oracle comparison is tight).
+    vox_feats = sc.gather_rows(jnp.asarray(feats), h.vox0_point_idx)
+    out = sc.subm_conv3(vox_feats, jnp.asarray(w), l0.nbr_idx,
+                        compute_dtype=jnp.float32)
+    out = np.asarray(out)
+
+    # Dense oracle.
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dz in (-1, 0, 1)]
+    for b in range(2):
+        dense = np.zeros((GRID, GRID, GRID, cin), np.float32)
+        sel = valid & (batch == b)
+        dense[tuple(coords[sel].T)] = feats[sel]
+        ref = np.zeros((GRID, GRID, GRID, cout), np.float32)
+        for k, (dx, dy, dz) in enumerate(offsets):
+            shifted = np.roll(dense, shift=(-dx, -dy, -dz), axis=(0, 1, 2))
+            ref += shifted @ w[k]
+        slots = np.asarray(h.pt_sorted_pos)[sel]
+        np.testing.assert_allclose(
+            out[slots], ref[tuple(coords[sel].T)], rtol=1e-4, atol=1e-4)
+
+
+def test_down_conv2_vs_dense(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    cin, cout = 4, 6
+    w = rng.randn(8, cin, cout).astype(np.float32) * 0.1
+
+    vox_feats = sc.gather_rows(jnp.asarray(feats), h.vox0_point_idx)
+    out = np.asarray(sc.down_conv2(vox_feats, jnp.asarray(w),
+                                   h.levels[1].child_idx,
+                                   compute_dtype=jnp.float32))
+
+    l1 = h.levels[1]
+    n1 = int(l1.nvalid)
+    c1 = np.asarray(l1.coords)[:n1]
+    b1 = np.asarray(l1.batch)[:n1]
+    koff = [(bx, by, bz) for bx in (0, 1) for by in (0, 1) for bz in (0, 1)]
+    for b in range(2):
+        dense = np.zeros((GRID, GRID, GRID, cin), np.float32)
+        sel = valid & (batch == b)
+        dense[tuple(coords[sel].T)] = feats[sel]
+        for i in np.where(b1 == b)[0]:
+            o = c1[i]
+            ref = np.zeros(cout, np.float32)
+            for k, (bx, by, bz) in enumerate(koff):
+                ref += dense[o[0] * 2 + bx, o[1] * 2 + by, o[2] * 2 + bz] @ w[k]
+            np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_up_conv2_inverts_parent_map(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    l0, l1 = h.levels[0], h.levels[1]
+    cin, cout = 3, 5
+    n1 = int(l1.nvalid)
+    xc = rng.randn(l1.key_hi.shape[0], cin).astype(np.float32)
+    xc[n1:] = 0
+    w = rng.randn(8, cin, cout).astype(np.float32) * 0.1
+
+    out = np.asarray(sc.up_conv2(jnp.asarray(xc), jnp.asarray(w),
+                                 l0.parent_idx, l0.child_kidx,
+                                 compute_dtype=jnp.float32))
+    n0 = int(l0.nvalid)
+    c0 = np.asarray(l0.coords)
+    p = np.asarray(l0.parent_idx)
+    for v in range(n0):
+        k = (c0[v, 0] & 1) * 4 + (c0[v, 1] & 1) * 2 + (c0[v, 2] & 1)
+        ref = xc[p[v]] @ w[k]
+        np.testing.assert_allclose(out[v], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_trilinear_devoxelize_weights(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    l2 = h.levels[2]
+    c = 4
+    v2 = l2.key_hi.shape[0]
+    n2 = int(l2.nvalid)
+    vf = rng.randn(v2, c).astype(np.float32)
+    vf[n2:] = 0
+
+    out = np.asarray(sc.devoxelize_trilinear(
+        jnp.asarray(vf), h.pt_corner_idx[2], h.pt_corner_w[2]))
+
+    # NumPy oracle: trilinear over existing corners, absent corners weight 0.
+    key2 = {}
+    c2 = np.asarray(l2.coords)[:n2]
+    b2 = np.asarray(l2.batch)[:n2]
+    for i in range(n2):
+        key2[(b2[i], *c2[i])] = i
+    s = 4.0  # stride at level 2
+    for i in np.where(valid)[0][:50]:
+        p = coords[i].astype(np.float64)
+        base = np.floor(p / s).astype(int)
+        f = p / s - base
+        ref = np.zeros(c, np.float64)
+        for bx in (0, 1):
+            for by in (0, 1):
+                for bz in (0, 1):
+                    idx = key2.get((batch[i], base[0] + bx, base[1] + by,
+                                    base[2] + bz))
+                    if idx is None:
+                        continue
+                    wgt = ((f[0] if bx else 1 - f[0]) *
+                           (f[1] if by else 1 - f[1]) *
+                           (f[2] if bz else 1 - f[2]))
+                    ref += wgt * vf[idx]
+        np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_voxelize_mean_matches_numpy(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    h = _build(coords, batch, valid)
+    l2 = h.levels[2]
+    v2 = l2.key_hi.shape[0]
+    out = np.asarray(sc.voxelize_mean(jnp.asarray(feats), h.pt_voxel_idx[2],
+                                      h.pt_valid, v2))
+    n2 = int(l2.nvalid)
+    c2 = np.asarray(l2.coords)[:n2]
+    b2 = np.asarray(l2.batch)[:n2]
+    for i in range(0, n2, 7):
+        sel = valid & (batch == b2[i]) & np.all(coords // 4 == c2[i], axis=1)
+        np.testing.assert_allclose(out[i], feats[sel].mean(0), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_capacity_overflow_is_reported(rng):
+    coords, batch, valid, feats = _random_scene(rng)
+    # Tiny level-1 cap to force overflow.
+    h = _JIT_BUILD(coords, batch, valid, (256, 16, 8, 8, 8))
+    l1 = h.levels[1]
+    assert int(l1.nvalid) == 16
+    assert int(l1.nvalid_raw) > 16
+    # Overflowed voxels' children must carry the sentinel parent.
+    p = np.asarray(h.levels[0].parent_idx)
+    assert (p == 16).any()
