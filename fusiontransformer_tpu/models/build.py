@@ -1,0 +1,90 @@
+"""Model factory (reference ``models/build.py:15-89``).
+
+Dispatches on MODEL.USE_FUSION / USE_LIDAR / USE_IMAGE x MODEL.TYPE and
+returns ``(flax_module, metric[, metric])`` with the same tuple arity as the
+reference so trainer code unpacks identically.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fusiontransformer_tpu.models.fusion import (EarlyFusionTransformer,
+                                                 FusionTransformerBase,
+                                                 LateFusionTransformer,
+                                                 MiddleFusionTransformer)
+from fusiontransformer_tpu.models.image_models import ImageSegBilinear
+from fusiontransformer_tpu.models.lidar_model import LidarSeg
+from fusiontransformer_tpu.models.metric import SegIoU
+
+
+def _compute_dtype(cfg):
+    name = cfg.TPU.COMPUTE_DTYPE if "TPU" in cfg else "bfloat16"
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def _image_dims(cfg):
+    ds = cfg.DATASET.get(cfg.DATASET.TYPE, {})
+    return (ds.get("image_height", 370), ds.get("image_width", 1226))
+
+
+def build_metrics(cfg):
+    train_3d = SegIoU(num_classes=cfg.MODEL.NUM_CLASSES, name="seg_iou_3d")
+    train_2d = SegIoU(num_classes=cfg.MODEL.NUM_CLASSES, name="seg_iou_2d")
+    return train_2d, train_3d
+
+
+def build_model(cfg):
+    cdt = _compute_dtype(cfg)
+    h, w = _image_dims(cfg)
+    remat = bool(cfg.TPU.REMAT_VIT) if "TPU" in cfg else False
+    fusion_kwargs = dict(
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        dual_head=cfg.MODEL.DUAL_HEAD,
+        middle_feat_block=cfg.MODEL.middle_feat_block_number,
+        late_feat_block=cfg.MODEL.late_feat_block_number
+        if cfg.MODEL.late_feat_block_number is not None else 11,
+        image_height=h, image_width=w,
+        remat_vit=remat, compute_dtype=cdt,
+    )
+
+    if cfg.MODEL.USE_FUSION:
+        train_2d, train_3d = build_metrics(cfg)
+        builders = {
+            "LateFusionTransformer": LateFusionTransformer,
+            "MiddleFusionTransformer": MiddleFusionTransformer,
+            "EarlyFusionTransformer": EarlyFusionTransformer,
+        }
+        model = builders[cfg.MODEL.TYPE](**fusion_kwargs)
+        return model, train_2d, train_3d
+
+    if cfg.MODEL.USE_LIDAR:
+        assert cfg.MODEL.TYPE == "LidarSeg", cfg.MODEL.TYPE
+        model = LidarSeg(num_classes=cfg.MODEL.NUM_CLASSES, compute_dtype=cdt)
+        return model, SegIoU(num_classes=cfg.MODEL.NUM_CLASSES,
+                             name="seg_iou_3d")
+
+    if cfg.MODEL.USE_IMAGE:
+        assert cfg.MODEL.TYPE in ("ImageSegBilinear", "ImageSeg"), cfg.MODEL.TYPE
+        # The STN 'ImageSeg' variant shares the bilinear path; the reference's
+        # STN network (image_models_stn.py) is retained as a legacy variant —
+        # see models/image_models_stn.py.
+        if cfg.MODEL.TYPE == "ImageSeg":
+            from fusiontransformer_tpu.models.image_models_stn import ImageSegSTN
+            model = ImageSegSTN(num_classes=cfg.MODEL.NUM_CLASSES,
+                                dual_head=cfg.MODEL.DUAL_HEAD,
+                                image_height=h, image_width=w,
+                                compute_dtype=cdt)
+        else:
+            model = ImageSegBilinear(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                dual_head=cfg.MODEL.DUAL_HEAD,
+                middle_feat_block=cfg.MODEL.middle_feat_block_number,
+                late_feat_block=cfg.MODEL.late_feat_block_number
+                if cfg.MODEL.late_feat_block_number is not None else 11,
+                image_height=h, image_width=w,
+                remat_vit=remat, compute_dtype=cdt)
+        return model, SegIoU(num_classes=cfg.MODEL.NUM_CLASSES,
+                             name="seg_iou_2d")
+
+    raise ValueError(f"Unsupported model config: {cfg.MODEL.TYPE}")
