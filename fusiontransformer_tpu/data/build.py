@@ -1,0 +1,88 @@
+"""Dataloader factory (reference ``data/build.py:13-89``).
+
+Selects the dataset class by DATASET.TYPE, the split tuple by mode, pops the
+augmentation subtree for train only, and wraps everything in the padded
+static-shape collate + prefetching loader.  Distributed mode shards scan
+indices per process (the TPU equivalent of DistributedSampler).
+"""
+
+from __future__ import annotations
+
+from fusiontransformer_tpu.data.collate import get_collate
+from fusiontransformer_tpu.data.loader import DataLoader
+from fusiontransformer_tpu.data.semantic_kitti.semantic_kitti_dataloader import (
+    DebugSemanticKITTISCN, SemanticKITTISCN)
+from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+
+DATASETS = {
+    "SemanticKITTISCN": SemanticKITTISCN,
+    "DebugSemanticKITTISCN": DebugSemanticKITTISCN,
+    "SyntheticSCN": SyntheticSCN,
+}
+
+
+def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
+                     world_size=1, seed=0):
+    assert mode in ("train", "val", "test")
+    dataset_cfg = cfg.DATASET
+    split = tuple(dataset_cfg[mode.upper()])
+    is_train = mode == "train"
+
+    if is_train:
+        batch_size = cfg.TRAIN.BATCH_SIZE
+    elif mode == "test":
+        batch_size = cfg.TEST.BATCH_SIZE
+    else:
+        batch_size = cfg.VAL.BATCH_SIZE
+
+    kwargs = dict(dataset_cfg.get(dataset_cfg.TYPE, {}))
+    augmentation = dict(kwargs.pop("augmentation", {}))
+    if not is_train:
+        augmentation = {}
+    # Drop None-valued augmentation entries (schema uses None for "off").
+    augmentation = {k: v for k, v in augmentation.items() if v is not None}
+
+    if dataset_cfg.TYPE == "NuScenesSCN":
+        from fusiontransformer_tpu.data.nuscenes.nuscenes_dataloader import (
+            NuScenesSCN)
+        dataset = NuScenesSCN(split=split, output_orig=not is_train,
+                              **kwargs, **augmentation)
+    elif dataset_cfg.TYPE in DATASETS:
+        dataset = DATASETS[dataset_cfg.TYPE](
+            split=split, output_orig=not is_train, **kwargs, **augmentation)
+    else:
+        raise ValueError(f"Unsupported dataset type: {dataset_cfg.TYPE}")
+
+    if use_distributed and world_size > 1:
+        dataset = _ShardedView(dataset, rank, world_size)
+
+    image_height = kwargs.get("image_height",
+                              getattr(dataset, "image_height", 370))
+    image_width = kwargs.get("image_width",
+                             getattr(dataset, "image_width", 1226))
+    collate = get_collate(is_train=is_train, batch_size=batch_size,
+                          point_capacity=cfg.TPU.POINT_CAPACITY,
+                          image_height=image_height, image_width=image_width)
+    return DataLoader(dataset, batch_size, collate, shuffle=is_train,
+                      drop_last=False, seed=seed + cfg.RNG_SEED,
+                      prefetch=max(1, cfg.DATALOADER.NUM_WORKERS))
+
+
+class _ShardedView:
+    """Per-process shard of a dataset (DistributedSampler equivalent)."""
+
+    def __init__(self, dataset, rank, world_size):
+        self.dataset = dataset
+        self.rank = rank
+        self.world_size = world_size
+        for attr in ("class_names", "class_labels", "map_inverse_label",
+                     "image_height", "image_width"):
+            if hasattr(dataset, attr):
+                setattr(self, attr, getattr(dataset, attr))
+
+    def __len__(self):
+        return (len(self.dataset) + self.world_size - 1) // self.world_size
+
+    def __getitem__(self, i):
+        return self.dataset[(i * self.world_size + self.rank)
+                            % len(self.dataset)]

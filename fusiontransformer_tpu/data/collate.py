@@ -1,0 +1,82 @@
+"""Padded static-shape batch collation.
+
+The reference concatenates variable-length scans and appends a batch column
+(``data/collate.py:37-86``); on TPU every array must have a static shape, so
+each scan is placed in its own fixed-capacity slice of a [B*cap] buffer with a
+validity mask.  Scans larger than the capacity are truncated (counted in
+``num_dropped`` so callers can monitor; capacities are sized so this never
+happens on the real datasets).
+
+Eval-only fields (original labels, inverse maps) stay host-side Python lists,
+exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import numpy as np
+
+
+def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
+                   image_height: int, image_width: int,
+                   output_orig: bool = False, output_image: bool = True):
+    b = batch_size
+    cap = point_capacity
+    n = b * cap
+    out = {
+        "coords": np.zeros((n, 3), np.int32),
+        "feats": np.zeros((n, 4), np.float32),
+        "seg_label": np.zeros((n,), np.int32),
+        "pt_batch": np.zeros((n,), np.int32),
+        "pt_valid": np.zeros((n,), bool),
+        "scan_count": np.zeros((b,), np.int32),
+        "num_dropped": 0,
+    }
+    if output_image:
+        out["img"] = np.zeros((b, image_height, image_width, 3), np.float32)
+        out["img_indices"] = np.zeros((n, 2), np.int32)
+    if output_orig:
+        out["orig_seg_label"] = []
+        out["sparse_orig_points_idx"] = []
+        out["inverse_map"] = []
+    out["seq"] = []
+    out["filename"] = []
+
+    assert len(samples) <= b
+    for i, s in enumerate(samples):
+        k = len(s["coords"])
+        if k > cap:
+            out["num_dropped"] += k - cap
+            k = cap
+        lo = i * cap
+        out["coords"][lo:lo + k] = s["coords"][:k]
+        out["feats"][lo:lo + k, :s["feats"].shape[1]] = s["feats"][:k]
+        out["seg_label"][lo:lo + k] = s["seg_label"][:k]
+        out["pt_batch"][lo:lo + k] = i
+        out["pt_valid"][lo:lo + k] = True
+        out["scan_count"][i] = k
+        if output_image:
+            img = s["img"]
+            if img.shape[0] == 3 and img.ndim == 3:   # CHW -> HWC safety
+                img = np.moveaxis(img, 0, -1)
+            h, w = img.shape[:2]
+            out["img"][i, :h, :w] = img
+            out["img_indices"][lo:lo + k] = s["img_indices"][:k]
+        if output_orig:
+            out["orig_seg_label"].append(s["orig_seg_label"])
+            out["sparse_orig_points_idx"].append(s["sparse_orig_points_idx"])
+            out["inverse_map"].append(s["inverse_map"])
+        out["seq"].append(s.get("seq", ""))
+        out["filename"].append(s.get("filename", ""))
+    return out
+
+
+def get_collate(is_train: bool, batch_size: int, point_capacity: int,
+                image_height: int, image_width: int, output_image: bool = True):
+    """Reference ``get_collate_scn`` analog: eval batches carry orig fields."""
+    return partial(collate_padded, batch_size=batch_size,
+                   point_capacity=point_capacity, image_height=image_height,
+                   image_width=image_width, output_orig=not is_train,
+                   output_image=output_image)

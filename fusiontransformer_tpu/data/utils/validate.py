@@ -1,0 +1,103 @@
+"""Validation loop (reference ``data/utils/validate.py:13-150``).
+
+Per batch: jitted eval step produces per-point argmax predictions (and the
+softmax-sum ensemble for fusion); the host slices per scan, devoxelizes with
+the inverse map (``map_sparse_to_org``), applies the inverse label map, and
+feeds per-class Evaluators.  The '2D+3D' ensemble evaluator mirrors the
+reference exactly.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from fusiontransformer_tpu.data.utils.evaluate import Evaluator
+from fusiontransformer_tpu.modules.steps import _device_batch
+
+
+def map_sparse_to_org(x, inverse_map):
+    return x[inverse_map]
+
+
+def validate(cfg, eval_step, state, dataloader, val_metric_logger,
+             logger_name=None):
+    logger = logging.getLogger(
+        logger_name or f"FusionTransformer.{cfg['MODEL']['TYPE']}.validate")
+    logger.info("Validation")
+
+    dataset = dataloader.dataset
+    class_names = dataset.class_names
+    class_labels = dataset.class_labels
+
+    evaluator_2d = Evaluator(class_names, class_labels) \
+        if cfg.MODEL.USE_IMAGE else None
+    evaluator_3d = Evaluator(class_names, class_labels) \
+        if cfg.MODEL.USE_LIDAR else None
+    evaluator_ensemble = Evaluator(class_names, class_labels) \
+        if cfg.MODEL.USE_FUSION else None
+
+    end = time.time()
+    for batch in dataloader:
+        data_time = time.time() - end
+        res = eval_step(state, _device_batch(batch))
+        res = {k: np.asarray(v) for k, v in res.items()}
+
+        scan_count = batch["scan_count"]
+        cap = len(batch["pt_valid"]) // len(scan_count)
+        for i, n_pts in enumerate(scan_count):
+            if n_pts == 0:
+                continue
+            sl = slice(i * cap, i * cap + n_pts)
+            inverse_map = batch["inverse_map"][i]
+            seg_label = np.asarray(batch["orig_seg_label"][i])
+            # All in-bounds points must have predictions (validate.py:82).
+            kept = np.asarray(batch["sparse_orig_points_idx"][i])
+            gt = seg_label[kept] if kept.dtype == bool else seg_label
+
+            def to_org(pred):
+                pred = map_sparse_to_org(pred[sl], inverse_map)
+                if dataset.map_inverse_label is not None:
+                    pred = dataset.map_inverse_label(pred)
+                return pred
+
+            if dataset.map_inverse_label is not None:
+                gt = dataset.map_inverse_label(gt)
+
+            if evaluator_3d is not None:
+                evaluator_3d.update(to_org(res["pred_3d"]), gt.copy())
+            if evaluator_2d is not None:
+                evaluator_2d.update(to_org(res["pred_2d"]), gt.copy())
+            if evaluator_ensemble is not None:
+                evaluator_ensemble.update(to_org(res["pred_ensemble"]),
+                                          gt.copy())
+
+        updates = {}
+        if "seg_loss_3d" in res:
+            updates["seg_loss_3d"] = float(res["seg_loss_3d"])
+        if "seg_loss_2d" in res:
+            updates["seg_loss_2d"] = float(res["seg_loss_2d"])
+        batch_time = time.time() - end
+        val_metric_logger.update(time=batch_time, data=data_time, **updates)
+        end = time.time()
+
+    eval_list = []
+    if evaluator_2d is not None:
+        val_metric_logger.update(seg_iou_2d=evaluator_2d.overall_iou)
+        eval_list.append(("2D", evaluator_2d))
+    if evaluator_3d is not None:
+        val_metric_logger.update(seg_iou_3d=evaluator_3d.overall_iou)
+        eval_list.append(("3D", evaluator_3d))
+    if evaluator_ensemble is not None:
+        eval_list.append(("2D+3D", evaluator_ensemble))
+
+    for modality, evaluator in eval_list:
+        logger.info("%s overall accuracy=%.2f%%", modality,
+                    100.0 * evaluator.overall_acc)
+        logger.info("%s overall IOU=%.2f", modality,
+                    100.0 * evaluator.overall_iou)
+        logger.info("%s class-wise segmentation accuracy and IoU.\n%s",
+                    modality, evaluator.print_table())
+    return eval_list

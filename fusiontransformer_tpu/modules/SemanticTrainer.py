@@ -1,0 +1,271 @@
+"""Epoch trainer (reference ``modules/SemanticTrainer.py:20-318``).
+
+Same lifecycle: build model/metrics -> optimizer/scheduler -> checkpointer
+(auto-resume) -> TB writer -> dataloaders -> epoch loop {train epoch, log,
+summary, validate, best-metric tracking, checkpoint-on-best}.  The hot path is
+one jitted ``train_step`` (see ``modules/steps.py``); the scheduler steps per
+epoch by injecting a new LR into the optax state (``SemanticTrainer.py:217``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os.path as osp
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusiontransformer_tpu.data.build import build_dataloader
+from fusiontransformer_tpu.data.utils.validate import validate
+from fusiontransformer_tpu.models.build import build_model
+from fusiontransformer_tpu.models.metric import SegIoU
+from fusiontransformer_tpu.modules.steps import (TrainState, _device_batch,
+                                                 make_eval_step,
+                                                 make_train_step)
+from fusiontransformer_tpu.solver.build import (build_optimizer,
+                                                get_learning_rate,
+                                                set_learning_rate)
+from fusiontransformer_tpu.utils import wandb_stub as wandb
+from fusiontransformer_tpu.utils.checkpoint import CheckpointerV2
+from fusiontransformer_tpu.utils.metric_logger import MetricLogger
+
+
+def init_train_state(cfg, model, tx, batch_size, rng_seed=1):
+    """Initialize params/batch_stats from a shape-only dummy batch."""
+    from fusiontransformer_tpu.modules.steps import level_caps_from_cfg
+    from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+    caps = level_caps_from_cfg(cfg, batch_size)
+    n = caps[0]
+    ds = cfg.DATASET.get(cfg.DATASET.TYPE, {})
+    h = ds.get("image_height", 370)
+    w = ds.get("image_width", 1226)
+    dummy = {
+        "coords": jnp.zeros((n, 3), jnp.int32),
+        "feats": jnp.zeros((n, 4), jnp.float32),
+        "seg_label": jnp.zeros((n,), jnp.int32),
+        "pt_batch": jnp.zeros((n,), jnp.int32),
+        "pt_valid": jnp.zeros((n,), bool).at[:8].set(True),
+        "img": jnp.zeros((batch_size, h, w, 3), jnp.float32),
+        "img_indices": jnp.zeros((n, 2), jnp.int32),
+    }
+    use_lidar = cfg.MODEL.USE_LIDAR
+
+    @jax.jit
+    def _init(rng, dummy):
+        hier = (build_hierarchy(dummy["coords"], dummy["pt_batch"],
+                                dummy["pt_valid"], caps)
+                if use_lidar else None)
+        return model.init(rng, dummy, hier, train=False)
+
+    variables = _init(jax.random.PRNGKey(rng_seed), dummy)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params) if tx is not None else None
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+
+class SemanticTrainer:
+    def __init__(self, cfg, output_dir, run_name):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.run_name = run_name
+        self.logger = logging.getLogger(
+            f"FusionTransformer.{cfg['MODEL']['TYPE']}.train")
+        wandb.login()
+        self.run = wandb.init(project="FusionTransformer", config=dict(cfg),
+                              group=cfg["MODEL"]["TYPE"], sync_tensorboard=True)
+
+        built = build_model(cfg)
+        self.model = built[0]
+        if cfg.MODEL.USE_FUSION:
+            _, self.train_2d_metric, self.train_3d_metric = built
+        elif cfg.MODEL.USE_LIDAR:
+            self.train_3d_metric = built[1]
+        elif cfg.MODEL.USE_IMAGE:
+            self.train_2d_metric = built[1]
+
+        self.train_dataloader = build_dataloader(cfg, mode="train")
+        self.val_dataloader = (build_dataloader(cfg, mode="val")
+                               if cfg.VAL.PERIOD > 0 else None)
+        steps_per_epoch = max(1, len(self.train_dataloader))
+
+        self.tx, self.lr_schedule = build_optimizer(cfg, steps_per_epoch)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.state = init_train_state(cfg, self.model, self.tx,
+                                      cfg.TRAIN.BATCH_SIZE, cfg.RNG_SEED)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.state.params))
+        self.logger.info("#Parameters: %.2e", n_params)
+
+        step_fn, self.level_caps = make_train_step(cfg, self.model, self.tx,
+                                                   cfg.TRAIN.BATCH_SIZE)
+        self.train_step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        eval_fn, _ = make_eval_step(cfg, self.model, cfg.VAL.BATCH_SIZE)
+        self.eval_step_fn = jax.jit(eval_fn)
+
+        self.checkpointer = CheckpointerV2(
+            save_dir=output_dir, logger=self.logger,
+            max_to_keep=cfg.TRAIN.MAX_TO_KEEP)
+        self.checkpoint_data = self._load_checkpoint()
+
+        if output_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.summary_writer = SummaryWriter(
+                    osp.join(output_dir, f"tb.{run_name}"))
+            except Exception:
+                self.summary_writer = None
+        else:
+            self.summary_writer = None
+
+        self.start_epoch = int(self.checkpoint_data.get("epoch", 0))
+        self.best_metric_name = f"best_{cfg.VAL.METRIC}"
+        modalities = (["2d", "3d"] if cfg.MODEL.USE_FUSION
+                      else ["3d"] if cfg.MODEL.USE_LIDAR else ["2d"])
+        self.modalities = modalities
+        self.best_metric = {
+            m: self.checkpoint_data.get(f"{m}_{self.best_metric_name}")
+            for m in modalities}
+        self.best_metric_epoch = {m: -1 for m in modalities}
+
+        self.train_metric_logger = MetricLogger(delimiter="  ")
+        if hasattr(self, "train_3d_metric"):
+            self.train_metric_logger.add_meters(self.train_3d_metric)
+        if hasattr(self, "train_2d_metric"):
+            self.train_metric_logger.add_meters(self.train_2d_metric)
+        self.val_metric_logger = MetricLogger(delimiter="  ")
+        self._rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    # ------------------------------------------------------------------ #
+    def _load_checkpoint(self):
+        payload = self.checkpointer.load(self.cfg.RESUME_PATH,
+                                         resume=self.cfg.AUTO_RESUME,
+                                         resume_states=self.cfg.RESUME_STATES)
+        if not payload:
+            return {}
+        params = payload.get("params", self.state.params)
+        bs = payload.get("batch_stats", self.state.batch_stats)
+        opt_state = self.state.opt_state
+        if payload.get("opt_state") is not None:
+            from flax import serialization
+            opt_state = serialization.from_state_dict(
+                self.state.opt_state, payload["opt_state"])
+        step = jnp.asarray(payload.get("step", 0), jnp.int32)
+        self.state = TrainState(params, bs, opt_state, step)
+        # Scalar bookkeeping (epoch, best metrics) for resume.
+        return {k: v for k, v in payload.items()
+                if k not in ("params", "batch_stats", "opt_state", "step")}
+
+    # ------------------------------------------------------------------ #
+    def train_for_one_epoch(self, epoch):
+        self.train_metric_logger.reset()
+        if hasattr(self, "train_3d_metric"):
+            self.train_3d_metric.reset()
+        if hasattr(self, "train_2d_metric"):
+            self.train_2d_metric.reset()
+        self.train_dataloader.set_epoch(epoch)
+        for batch in self.train_dataloader:
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, metrics = self.train_step_fn(
+                self.state, _device_batch(batch), step_rng)
+            host = {k: v for k, v in metrics.items()
+                    if not k.startswith("cm_")}
+            host = jax.device_get(host)
+            self.train_metric_logger.update(
+                **{k: float(v) for k, v in host.items()})
+            if "cm_3d" in metrics and hasattr(self, "train_3d_metric"):
+                self.train_3d_metric.update_matrix(np.asarray(metrics["cm_3d"]))
+            if "cm_2d" in metrics and hasattr(self, "train_2d_metric"):
+                self.train_2d_metric.update_matrix(np.asarray(metrics["cm_2d"]))
+            wandb.log({k: float(v) for k, v in host.items()
+                       if k.startswith(("seg_loss", "xm_loss"))})
+        # Per-epoch scheduler step (SemanticTrainer.py:217).
+        new_lr = self.lr_schedule((epoch + 1) * self.steps_per_epoch)
+        self.state = self.state._replace(
+            opt_state=set_learning_rate(self.state.opt_state, new_lr))
+
+    def update_log(self, epoch):
+        lp = self.cfg.TRAIN.LOG_PERIOD
+        if epoch == 1 or (lp > 0 and epoch % lp == 0):
+            self.logger.info(
+                "iter: %4d  %s  lr: %.2e", epoch,
+                str(self.train_metric_logger),
+                get_learning_rate(self.state.opt_state))
+
+    def update_summary(self, epoch):
+        sw = self.summary_writer
+        if sw is not None and self.cfg.TRAIN.SUMMARY_PERIOD > 0 \
+                and epoch % self.cfg.TRAIN.SUMMARY_PERIOD == 0:
+            keywords = ("loss", "acc", "iou")
+            for name, meter in self.train_metric_logger.meters.items():
+                if any(k in name for k in keywords):
+                    sw.add_scalar("train/" + name, meter.avg,
+                                  global_step=epoch)
+
+    def validate_for_one_epoch(self, epoch):
+        if self.val_dataloader is None:
+            return
+        if self.cfg.VAL.PERIOD > 0 and (
+                epoch % self.cfg.VAL.PERIOD == 0
+                or epoch == self.cfg.SCHEDULER.MAX_EPOCH - 1):
+            self.val_metric_logger.reset()
+            validate(self.cfg, self.eval_step_fn, self.state,
+                     self.val_dataloader, self.val_metric_logger)
+
+    def update_validation_logging_meters(self, epoch):
+        if not self.val_metric_logger.meters:
+            return
+        self.logger.info("Epoch[%d]-Val %s", epoch,
+                         self.val_metric_logger.summary_str)
+        for modality in self.modalities:
+            name = f"{self.cfg.VAL.METRIC}_{modality}"
+            if name in self.val_metric_logger.meters:
+                cur = self.val_metric_logger.meters[name].global_avg
+                if self.best_metric[modality] is None \
+                        or self.best_metric[modality] < cur:
+                    self.best_metric[modality] = cur
+                    self.best_metric_epoch[modality] = epoch
+        for modality in self.modalities:
+            if self.best_metric[modality] is not None:
+                self.logger.info(
+                    "Best val-%s-%s = %.2f at epoch %d", modality.upper(),
+                    self.cfg.VAL.METRIC, self.best_metric[modality] * 100,
+                    self.best_metric_epoch[modality])
+
+    def update_checkpoint(self, epoch):
+        cp = self.cfg.TRAIN.CHECKPOINT_PERIOD
+        if (cp > 0 and epoch % cp == 0) \
+                or epoch == self.cfg.SCHEDULER.MAX_EPOCH \
+                or any(self.best_metric_epoch.get(m) == epoch
+                       for m in self.modalities):
+            extra = {"epoch": epoch, "step": np.asarray(self.state.step)}
+            for m in self.modalities:
+                if self.best_metric[m] is not None:
+                    extra[f"{m}_{self.best_metric_name}"] = float(
+                        self.best_metric[m])
+            self.checkpointer.save(
+                f"model{epoch:06d}",
+                tree={"params": self.state.params,
+                      "batch_stats": self.state.batch_stats,
+                      "opt_state": self.state.opt_state},
+                **extra)
+
+    def train(self):
+        max_epoch = int(self.cfg.SCHEDULER.MAX_EPOCH)
+        for epoch in range(self.start_epoch, max_epoch):
+            t0 = time.time()
+            self.train_for_one_epoch(epoch)
+            self.logger.info("Epoch %d took %.1fs", epoch, time.time() - t0)
+            self.update_log(epoch)
+            self.update_summary(epoch)
+            self.validate_for_one_epoch(epoch)
+            self.update_validation_logging_meters(epoch)
+            if any(self.best_metric_epoch.get(m) == epoch
+                   for m in self.modalities):
+                self.update_checkpoint(epoch)
+        wandb.finish()
+        return self.state

@@ -1,0 +1,182 @@
+"""Jitted train/eval step builders.
+
+The reference computes losses inline in ``SemanticTrainer.train_step``
+(``modules/SemanticTrainer.py:141-209``) with two backward passes
+(``:197-200``).  Because image features are detached before fusion and the KL
+teachers are detached, the parameter gradient of (loss_2d + loss_3d) is
+*identical* to the reference's accumulated double backward, so the TPU step
+optimizes the single summed loss — one jitted program per step: hierarchy
+build (int ops) -> forward -> losses -> grads -> optax update -> confusion
+matrices, all fused by XLA.
+
+``axis_name`` turns the same step into the data-parallel step: gradients,
+losses and confusion matrices are ``lax.pmean``/``psum``'d over the mesh
+(replacing DDP's NCCL allreduce, ``TorchpackInterface.py:78-81``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fusiontransformer_tpu.models.losses import (kl_divergence,
+                                                 weighted_cross_entropy)
+from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+
+class TrainState(NamedTuple):
+    params: dict
+    batch_stats: dict
+    opt_state: object
+    step: jnp.ndarray
+
+
+def level_caps_from_cfg(cfg, batch_size: int):
+    base = batch_size * cfg.TPU.POINT_CAPACITY
+    caps = [base]
+    for frac in cfg.TPU.LEVEL_CAPACITY_FRACTIONS:
+        nxt = max(128, int(round(caps[-1] * frac / 128.0)) * 128)
+        caps.append(nxt)
+    return tuple(caps)
+
+
+def _losses(cfg, out, batch, class_weights):
+    """Reference SemanticTrainer loss semantics (CE + lambda*KL per stream)."""
+    valid = batch["pt_valid"]
+    label = batch["seg_label"]
+    aux = {}
+    total = 0.0
+    lam = cfg.TRAIN.FusionTransformer.lambda_xm
+    if cfg.MODEL.USE_FUSION:
+        loss_3d = weighted_cross_entropy(out["lidar_seg_logit"], label, valid,
+                                         class_weights)
+        loss_2d = weighted_cross_entropy(out["img_seg_logit"], label, valid,
+                                         class_weights)
+        aux["seg_loss_3d"] = loss_3d
+        aux["seg_loss_2d"] = loss_2d
+        if lam > 0:
+            logit_2d = out["img_seg_logit2"] if cfg.MODEL.DUAL_HEAD else out[
+                "img_seg_logit"]
+            logit_3d = out["lidar_seg_logit2"] if cfg.MODEL.DUAL_HEAD else out[
+                "lidar_seg_logit"]
+            xm_2d = kl_divergence(logit_2d, out["lidar_seg_logit"], valid)
+            xm_3d = kl_divergence(logit_3d, out["img_seg_logit"], valid)
+            aux["xm_loss_2d"] = xm_2d
+            aux["xm_loss_3d"] = xm_3d
+            loss_2d = loss_2d + lam * xm_2d
+            loss_3d = loss_3d + lam * xm_3d
+        total = loss_2d + loss_3d
+    elif cfg.MODEL.USE_LIDAR:
+        loss_3d = weighted_cross_entropy(out["lidar_seg_logit"], label, valid,
+                                         class_weights)
+        aux["seg_loss_3d"] = loss_3d
+        total = loss_3d
+    elif cfg.MODEL.USE_IMAGE:
+        loss_2d = weighted_cross_entropy(out["img_seg_logit"], label, valid,
+                                         class_weights)
+        aux["seg_loss_2d"] = loss_2d
+        total = loss_2d
+    return total, aux
+
+
+def _confusions(cfg, out, batch):
+    from fusiontransformer_tpu.models.metric import \
+        confusion_matrix_from_logits
+    cms = {}
+    n = cfg.MODEL.NUM_CLASSES
+    valid = batch["pt_valid"]
+    if cfg.MODEL.USE_LIDAR:
+        cms["cm_3d"] = confusion_matrix_from_logits(
+            out["lidar_seg_logit"], batch["seg_label"], valid, n)
+    if cfg.MODEL.USE_IMAGE:
+        cms["cm_2d"] = confusion_matrix_from_logits(
+            out["img_seg_logit"], batch["seg_label"], valid, n)
+    return cms
+
+
+def _device_batch(batch):
+    """Array-only view of a collated batch (host lists stripped)."""
+    keys = ("coords", "feats", "seg_label", "pt_batch", "pt_valid", "img",
+            "img_indices")
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def make_train_step(cfg, model, tx, batch_size: int,
+                    axis_name: Optional[str] = None):
+    caps = level_caps_from_cfg(cfg, batch_size)
+    class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
+                     if cfg.TRAIN.CLASS_WEIGHTS else None)
+    use_lidar = cfg.MODEL.USE_LIDAR
+
+    def step(state: TrainState, batch, rng):
+        hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
+                                batch["pt_valid"], caps)
+                if use_lidar else None)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, hier, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            total, aux = _losses(cfg, out, batch, class_weights)
+            return total, (mut["batch_stats"], out, aux)
+
+        (total, (new_bs, out, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        metrics = dict(aux, total_loss=total)
+        cms = _confusions(cfg, out, batch)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+            cms = jax.lax.psum(cms, axis_name)
+        metrics.update(cms)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_bs, opt_state, state.step + 1), metrics
+
+    return step, caps
+
+
+def make_eval_step(cfg, model, batch_size: int,
+                   axis_name: Optional[str] = None):
+    """Eval step: per-point predictions + losses (+ ensemble for fusion).
+
+    Softmax-sum 2D+3D ensemble parity with ``data/utils/validate.py:67-70``.
+    """
+    caps = level_caps_from_cfg(cfg, batch_size)
+    class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
+                     if cfg.TRAIN.CLASS_WEIGHTS else None)
+    use_lidar = cfg.MODEL.USE_LIDAR
+
+    def step(state: TrainState, batch):
+        hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
+                                batch["pt_valid"], caps)
+                if use_lidar else None)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, hier, train=False)
+        res = {}
+        if cfg.MODEL.USE_LIDAR:
+            res["pred_3d"] = jnp.argmax(out["lidar_seg_logit"], -1)
+            res["seg_loss_3d"] = weighted_cross_entropy(
+                out["lidar_seg_logit"], batch["seg_label"], batch["pt_valid"],
+                class_weights)
+        if cfg.MODEL.USE_IMAGE:
+            res["pred_2d"] = jnp.argmax(out["img_seg_logit"], -1)
+            res["seg_loss_2d"] = weighted_cross_entropy(
+                out["img_seg_logit"], batch["seg_label"], batch["pt_valid"],
+                class_weights)
+        if cfg.MODEL.USE_FUSION:
+            probs = (jax.nn.softmax(out["img_seg_logit"], -1)
+                     + jax.nn.softmax(out["lidar_seg_logit"], -1))
+            res["pred_ensemble"] = jnp.argmax(probs, -1)
+        return res
+
+    return step, caps

@@ -1,0 +1,119 @@
+"""Checkpointer with last-checkpoint manifest + max-to-keep GC.
+
+Reference semantics (``common/utils/checkpoint.py:12-161``): saves named
+checkpoints, tracks the newest in a ``last_checkpoint`` manifest file,
+garbage-collects beyond ``max_to_keep``, and supports resume with or without
+optimizer/scheduler states.
+
+Storage: Orbax PyTreeCheckpointer (directory per checkpoint) with a msgpack
+fallback if orbax is unavailable.  The checkpoint payload is a pure pytree
+{params, batch_stats, opt_state, epoch, ...} — no pickled Python objects.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import shutil
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from flax import serialization
+
+
+class CheckpointerV2:
+    _LAST = "last_checkpoint"
+
+    def __init__(self, save_dir="", logger=None, max_to_keep=100, postfix=""):
+        self.save_dir = save_dir
+        self.logger = logger or logging.getLogger(__name__)
+        self.max_to_keep = max_to_keep
+        self.postfix = postfix
+        self._saved = self._load_manifest_list()
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self):
+        return osp.join(self.save_dir, self._LAST + self.postfix)
+
+    def _load_manifest_list(self):
+        path = self._manifest_path()
+        if self.save_dir and osp.exists(path):
+            with open(path) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+            return lines
+        return []
+
+    def has_checkpoint(self):
+        return bool(self._saved)
+
+    def get_checkpoint_file(self):
+        return self._saved[-1] if self._saved else ""
+
+    # -- save/load ----------------------------------------------------------
+    def save(self, name, tree=None, **extra):
+        if not self.save_dir:
+            return
+        payload = dict(tree or {})
+        payload.update(extra)
+        path = osp.join(self.save_dir, name + ".ckpt")
+        # Canonicalize to a pure nested dict (NamedTuples -> field dicts) so
+        # restore is structure-independent; callers rebuild typed pytrees with
+        # flax.serialization.from_state_dict.
+        payload = serialization.to_state_dict(payload)
+        payload = jax.tree_util.tree_map(np.asarray, payload)
+        if _HAS_ORBAX:
+            ckptr = ocp.PyTreeCheckpointer()
+            if osp.exists(path):
+                shutil.rmtree(path)
+            ckptr.save(path, payload)
+        else:  # pragma: no cover
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(payload))
+        self._saved.append(path)
+        self._gc()
+        with open(self._manifest_path(), "w") as f:
+            f.write("\n".join(self._saved))
+        self.logger.info("Saved checkpoint to %s", path)
+
+    def _gc(self):
+        while len(self._saved) > self.max_to_keep:
+            victim = self._saved.pop(0)
+            if osp.isdir(victim):
+                shutil.rmtree(victim, ignore_errors=True)
+            elif osp.exists(victim):
+                os.remove(victim)
+
+    def load(self, path=None, resume=True, resume_states=True, target=None):
+        """Returns the restored payload dict ({} when nothing to restore).
+
+        ``resume_states=False`` strips optimizer/scheduler state, mirroring
+        the reference's RESUME_STATES flag.
+        """
+        if not path and resume and self.has_checkpoint():
+            path = self.get_checkpoint_file()
+        if not path:
+            self.logger.info("No checkpoint found; training from scratch.")
+            return {}
+        self.logger.info("Loading checkpoint from %s", path)
+        if _HAS_ORBAX and osp.isdir(path):
+            payload = ocp.PyTreeCheckpointer().restore(path)
+        else:  # pragma: no cover
+            with open(path, "rb") as f:
+                payload = serialization.msgpack_restore(f.read())
+        if not resume_states:
+            payload = {k: v for k, v in payload.items()
+                       if k not in ("opt_state", "epoch")}
+        return payload
+
+
+# Backwards-parity alias (the reference also exposes plain Checkpointer).
+Checkpointer = CheckpointerV2
