@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark: middle-fusion inference throughput + latency on one TPU chip.
+
+North-star metric (BASELINE.json): LiDAR scans/sec/chip and p50 per-scan
+latency for the flagship MiddleFusionTransformer (full DeiT-Base-distilled
+@384 + SPVCNN) on KITTI-sized synthetic scans.
+
+Baseline: the reference stack is PyTorch CPU (torchsparse is not installable
+here, so the reference cannot run at all); as a conservative stand-in we time
+ONLY its dominant dense component — a torch-CPU DeiT-Base-384 forward per
+scan — which strictly *underestimates* the reference's per-scan cost (the
+sparse UNet, lifting and Python loops are free in this proxy).  The measured
+proxy is cached in ``bench_baseline.json``.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
+
+BATCH = 4
+POINTS = 18_000
+CAPACITY = 20_480
+NUM_CLASSES = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_torch_cpu_baseline():
+    """torch-CPU DeiT-Base-384 forward / scan (reference's dominant cost)."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["cpu_proxy_scans_per_sec"]
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class Block(torch.nn.Module):
+        def __init__(self, d=768, h=12):
+            super().__init__()
+            self.n1 = torch.nn.LayerNorm(d)
+            self.attn = torch.nn.MultiheadAttention(d, h, batch_first=True)
+            self.n2 = torch.nn.LayerNorm(d)
+            self.mlp = torch.nn.Sequential(
+                torch.nn.Linear(d, 4 * d), torch.nn.GELU(),
+                torch.nn.Linear(4 * d, d))
+
+        def forward(self, x):
+            h = self.n1(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            return x + self.mlp(self.n2(x))
+
+    class DeiT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch = torch.nn.Conv2d(3, 768, 16, 16)
+            self.blocks = torch.nn.ModuleList([Block() for _ in range(12)])
+
+        def forward(self, x):
+            x = self.patch(x).flatten(2).transpose(1, 2)
+            x = torch.cat([torch.zeros(x.shape[0], 2, 768), x], 1)
+            for b in self.blocks:
+                x = b(x)
+            return x
+
+    model = DeiT().eval()
+    x = torch.randn(1, 3, 384, 384)
+    with torch.no_grad():
+        model(x)  # warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            model(x)
+            times.append(time.perf_counter() - t0)
+    per_scan = float(np.median(times))
+    result = {"cpu_proxy_scans_per_sec": 1.0 / per_scan,
+              "cpu_proxy_sec_per_scan": per_scan,
+              "note": "torch CPU DeiT-Base-384 forward only; strictly "
+                      "underestimates the full reference per-scan cost"}
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(result, f, indent=2)
+    log(f"measured torch-CPU proxy: {per_scan*1000:.0f} ms/scan")
+    return result["cpu_proxy_scans_per_sec"]
+
+
+def build_flagship(batch_size):
+    import jax
+    import jax.numpy as jnp
+
+    from fusiontransformer_tpu.models.fusion import FusionTransformerBase
+    from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+    model = FusionTransformerBase(
+        num_classes=NUM_CLASSES, dual_head=True, fusion="middle",
+        middle_feat_block=5, late_feat_block=11,
+        image_height=370, image_width=1226)
+
+    from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+    from fusiontransformer_tpu.data.collate import collate_padded
+
+    ds = SyntheticSCN(split=("train",), num_scans=batch_size,
+                      num_points=POINTS)
+    batch = collate_padded([ds[i] for i in range(batch_size)], batch_size,
+                           CAPACITY, 370, 1226)
+    batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
+                                   "pt_valid", "img", "img_indices")}
+    batch = jax.device_put(batch)  # upload once; steps must not re-upload
+
+    n = batch_size * CAPACITY
+    caps = [n]
+    for f in (0.55, 0.55, 0.55, 0.55):
+        caps.append(max(128, int(round(caps[-1] * f / 128.0)) * 128))
+    caps = tuple(caps)
+
+    @jax.jit
+    def _init(batch):
+        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                               batch["pt_valid"], caps)
+        return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
+
+    t0 = time.time()
+    variables = _init(batch)
+    jax.block_until_ready(variables)
+    log(f"init done in {time.time()-t0:.1f}s")
+
+    @jax.jit
+    def forward(variables, batch):
+        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                               batch["pt_valid"], caps)
+        out = model.apply(variables, batch, hier, train=False)
+        probs = (jax.nn.softmax(out["img_seg_logit"], -1)
+                 + jax.nn.softmax(out["lidar_seg_logit"], -1))
+        return jnp.argmax(probs, -1)
+
+    return forward, variables, batch
+
+
+def bench(forward, variables, batch, batch_size, iters=20):
+    import jax
+
+    t0 = time.time()
+    out = forward(variables, batch)
+    _ = np.asarray(out[:1])
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    # This backend's block_until_ready does not reliably synchronize, so each
+    # iteration syncs via a 1-element readback; a pipelined pass (single sync
+    # at the end) gives the dispatch-overlapped throughput.
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = forward(variables, batch)
+        _ = np.asarray(out[:1])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(np.array(times), 50))
+
+    t0 = time.perf_counter()
+    outs = [forward(variables, batch) for _ in range(iters)]
+    _ = np.asarray(outs[-1][:1])
+    del outs
+    pipelined = (time.perf_counter() - t0) / iters
+    log(f"p50 sync latency {p50*1000:.1f} ms; pipelined {pipelined*1000:.1f} ms")
+    return batch_size / max(pipelined, 1e-9), p50
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    baseline = measure_torch_cpu_baseline()
+
+    forward, variables, batch = build_flagship(BATCH)
+    scans_per_sec, p50_batch = bench(forward, variables, batch, BATCH)
+    log(f"batch={BATCH}: {scans_per_sec:.2f} scans/s "
+        f"(p50 batch latency {p50_batch*1000:.1f} ms)")
+
+    print(json.dumps({
+        "metric": "middlefusion_inference_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,13 +11,16 @@ with jitted integer ops:
   ``sparse_quantize``, reference ``semantic_kitti_dataloader.py:231``, so
   points are 1:1 with level-0 voxels and torchsparse's ``initial_voxelize``
   with pres=vres=1, reference ``models/utils.py:15-35``, is an identity here);
-* level l+1 coords = unique(coords_l >> 1) — computed by a cumsum over the
-  already-sorted level-l keys (floor-division preserves lexicographic order),
-  no re-sort needed;
-* ks=3 stride=1 kernel maps (``nbr_idx``) via 27-way binary search;
+* level l+1 coords = unique(coords_l >> 1): one key sort + adjacent-compare
+  cumsum (floor-division does NOT preserve lexicographic tuple order, so each
+  level re-sorts its parent keys);
+* ks=3 stride=1 kernel maps (``nbr_idx``) via a single sort-join per level
+  (``ops.keys.sorted_join`` — one lax.sort over [table ++ 26 offset-shifted
+  query sets] + cummax propagation; TPU's sorter is ~10x faster here than
+  serial binary-search gathers);
 * ks=2 stride=2 down/up maps (``child_idx`` / ``parent_idx`` + ``child_kidx``)
   via the cumsum positions — no search at all;
-* trilinear devoxelize corner maps (8-way binary search per requested level),
+* trilinear devoxelize corner maps (8-way sort-join per requested level),
   replacing ``spf.calc_ti_weights`` + ``spdevoxelize``
   (reference ``models/utils.py:68-106``).
 
@@ -97,7 +100,7 @@ def _build_nbr_idx(level: "Level", coord_limit: int) -> jnp.ndarray:
         q_lo_list.append(lo)
     q_hi = jnp.stack(q_hi_list, axis=1)  # [V, 27]
     q_lo = jnp.stack(q_lo_list, axis=1)
-    nbr = K.lex_lookup(level.key_hi, level.key_lo, q_hi, q_lo)
+    nbr = K.sorted_join(level.key_hi, level.key_lo, q_hi, q_lo)
     center = 13  # (0,0,0) offset index
     self_idx = jnp.where(level.valid,
                          jnp.arange(V, dtype=jnp.int32),
@@ -128,7 +131,7 @@ def _corner_maps(points, batch_idx, pt_valid, level: "Level", lshift: int):
     q_hi = jnp.stack(q_hi_list, axis=1)            # [N, 8]
     q_lo = jnp.stack(q_lo_list, axis=1)
     w = jnp.stack(w_list, axis=1)                  # [N, 8]
-    idx = K.lex_lookup(level.key_hi, level.key_lo, q_hi, q_lo)
+    idx = K.sorted_join(level.key_hi, level.key_lo, q_hi, q_lo)
     V = level.key_hi.shape[0]
     w = jnp.where(idx == V, 0.0, w)
     return idx, w.astype(jnp.float32)

@@ -73,7 +73,8 @@ class CfgNode(dict):
 
     # -- merging -----------------------------------------------------------
     def clone(self) -> "CfgNode":
-        return copy.deepcopy(self)
+        """Deep copy; the clone is returned defrosted (mutable)."""
+        return CfgNode(copy.deepcopy(_to_plain_dict(self)))
 
     def merge_from_file(self, cfg_filename: str):
         with open(cfg_filename, "r") as f:
