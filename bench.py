@@ -121,7 +121,7 @@ def build_flagship(batch_size):
 
     n = batch_size * CAPACITY
     caps = [n]
-    for f in (0.55, 0.55, 0.55, 0.55):
+    for f in (0.9, 0.75, 0.6, 0.5):
         caps.append(max(128, int(round(caps[-1] * f / 128.0)) * 128))
     caps = tuple(caps)
 

@@ -211,7 +211,10 @@ _C.TPU = CN()
 # Per-scan point/voxel capacity (level 0). Batches allocate BATCH_SIZE * cap.
 _C.TPU.POINT_CAPACITY = 32768
 # Capacity fraction per downsample level relative to previous level.
-_C.TPU.LEVEL_CAPACITY_FRACTIONS = (0.55, 0.55, 0.55, 0.55)
+# NOTE: sparse LiDAR returns barely merge at the first 2x downsample (spacing
+# between returns exceeds the 5cm voxel at range), so level-1 needs ~0.9.
+# Overflow is monitored per step (metrics["voxel_overflow"]).
+_C.TPU.LEVEL_CAPACITY_FRACTIONS = (0.9, 0.75, 0.6, 0.5)
 # Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.

@@ -8,6 +8,8 @@ only to match its numerics.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -33,10 +35,11 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.1
     eps: float = 1e-5
+    out_dtype: Optional[jnp.dtype] = None  # e.g. bf16 to halve HBM traffic
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        # x: [V, C] float32; mask: [V] bool.
+        # x: [V, C] float; mask: [V] bool.  Statistics always in float32.
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -45,11 +48,12 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
+        xf = x.astype(jnp.float32)
         if train:
             m = mask.astype(jnp.float32)[:, None]
             n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / n
-            var = jnp.sum((x * m) ** 2, axis=0) / n - mean**2
+            mean = jnp.sum(xf * m, axis=0) / n
+            var = jnp.sum((xf * m) ** 2, axis=0) / n - mean**2
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -57,8 +61,9 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) / jnp.sqrt(var + self.eps)
-        return y * scale + bias
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.out_dtype) if self.out_dtype else y
 
 
 class MaskedBatchNorm2d(nn.Module):

@@ -100,15 +100,15 @@ class ResidualBlock(nn.Module):
     def __call__(self, x, nbr_idx, mask, train: bool):
         cin = x.shape[-1]
         h = SubMConv3(self.features, self.compute_dtype)(x, nbr_idx)
-        h = MaskedBatchNorm()(h, mask, train)
+        h = MaskedBatchNorm(out_dtype=self.compute_dtype)(h, mask, train)
         h = nn.relu(h)
         h = SubMConv3(self.features, self.compute_dtype)(h, nbr_idx)
-        h = MaskedBatchNorm()(h, mask, train)
+        h = MaskedBatchNorm(out_dtype=self.compute_dtype)(h, mask, train)
         if cin == self.features:
             shortcut = x
         else:
             shortcut = Conv1x1(self.features, self.compute_dtype)(x)
-            shortcut = MaskedBatchNorm()(shortcut, mask, train)
+            shortcut = MaskedBatchNorm(out_dtype=self.compute_dtype)(shortcut, mask, train)
         return nn.relu(h + shortcut)
 
 
@@ -121,7 +121,7 @@ class PointTransform(nn.Module):
     @nn.compact
     def __call__(self, x, mask, train: bool):
         h = TorchLinear(self.features, compute_dtype=self.compute_dtype)(x)
-        h = MaskedBatchNorm()(h, mask, train)
+        h = MaskedBatchNorm(out_dtype=self.compute_dtype)(h, mask, train)
         return nn.relu(h)
 
 
@@ -162,10 +162,10 @@ class SPVCNN(nn.Module):
 
         # ---- stem @ L0 (models/spvcnn.py:98-102)
         x0 = SubMConv3(cs[0], cdt, name="stem0")(x0, L[0].nbr_idx)
-        x0 = MaskedBatchNorm(name="stem0_bn")(x0, masks[0], train)
+        x0 = MaskedBatchNorm(out_dtype=cdt, name="stem0_bn")(x0, masks[0], train)
         x0 = nn.relu(x0)
         x0 = SubMConv3(cs[0], cdt, name="stem1")(x0, L[0].nbr_idx)
-        x0 = MaskedBatchNorm(name="stem1_bn")(x0, masks[0], train)
+        x0 = MaskedBatchNorm(out_dtype=cdt, name="stem1_bn")(x0, masks[0], train)
         x0 = nn.relu(x0)
 
         # ---- z0 = voxel_to_point(x0) — identity gather at stride 1.
@@ -192,7 +192,7 @@ class SPVCNN(nn.Module):
             lvl = L[i + 1]
             h = DownConv2(down_feats[i], cdt,
                           name=f"stage{i+1}_down")(feats_in, lvl.child_idx)
-            h = MaskedBatchNorm(name=f"stage{i+1}_down_bn")(h, masks[i + 1], train)
+            h = MaskedBatchNorm(out_dtype=cdt, name=f"stage{i+1}_down_bn")(h, masks[i + 1], train)
             h = nn.relu(h)
             h = ResidualBlock(out_feats[i], cdt, name=f"stage{i+1}_res1")(
                 h, lvl.nbr_idx, masks[i + 1], train)
@@ -217,7 +217,7 @@ class SPVCNN(nn.Module):
         y = drop(y)
         y = UpConv2(cs[5], cdt, name="up1_deconv")(y, L[3].parent_idx,
                                                    L[3].child_kidx)
-        y = MaskedBatchNorm(name="up1_deconv_bn")(y, masks[3], train)
+        y = MaskedBatchNorm(out_dtype=cdt, name="up1_deconv_bn")(y, masks[3], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[3]], axis=-1)
         y = ResidualBlock(cs[5], cdt, name="up1_res1")(y, L[3].nbr_idx,
@@ -227,7 +227,7 @@ class SPVCNN(nn.Module):
 
         y = UpConv2(cs[6], cdt, name="up2_deconv")(y, L[2].parent_idx,
                                                    L[2].child_kidx)
-        y = MaskedBatchNorm(name="up2_deconv_bn")(y, masks[2], train)
+        y = MaskedBatchNorm(out_dtype=cdt, name="up2_deconv_bn")(y, masks[2], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[2]], axis=-1)
         y = ResidualBlock(cs[6], cdt, name="up2_res1")(y, L[2].nbr_idx,
@@ -247,7 +247,7 @@ class SPVCNN(nn.Module):
         y = drop(y)
         y = UpConv2(cs[7], cdt, name="up3_deconv")(y, L[1].parent_idx,
                                                    L[1].child_kidx)
-        y = MaskedBatchNorm(name="up3_deconv_bn")(y, masks[1], train)
+        y = MaskedBatchNorm(out_dtype=cdt, name="up3_deconv_bn")(y, masks[1], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[1]], axis=-1)
         y = ResidualBlock(cs[7], cdt, name="up3_res1")(y, L[1].nbr_idx,
@@ -257,7 +257,7 @@ class SPVCNN(nn.Module):
 
         y = UpConv2(cs[8], cdt, name="up4_deconv")(y, L[0].parent_idx,
                                                    L[0].child_kidx)
-        y = MaskedBatchNorm(name="up4_deconv_bn")(y, masks[0], train)
+        y = MaskedBatchNorm(out_dtype=cdt, name="up4_deconv_bn")(y, masks[0], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[0]], axis=-1)
         y = ResidualBlock(cs[8], cdt, name="up4_res1")(y, L[0].nbr_idx,
@@ -277,5 +277,5 @@ def _fusion_transform(mdl: SPVCNN, out_dim: int, fusion_feats, pt_valid,
     assert fusion_feats is not None, "fusion model called without image feats"
     h = TorchLinear(out_dim, compute_dtype=mdl.compute_dtype,
                     name="fusion_linear")(fusion_feats)
-    h = MaskedBatchNorm(name="fusion_bn")(h, pt_valid, train)
+    h = MaskedBatchNorm(out_dtype=mdl.compute_dtype, name="fusion_bn")(h, pt_valid, train)
     return nn.relu(h)

@@ -128,6 +128,11 @@ def make_train_step(cfg, model, tx, batch_size: int,
             loss_fn, has_aux=True)(state.params)
 
         metrics = dict(aux, total_loss=total)
+        if hier is not None:
+            # Static-capacity health check: total voxels dropped by level caps.
+            metrics["voxel_overflow"] = sum(
+                jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
+                for l in hier.levels)
         cms = _confusions(cfg, out, batch)
 
         if axis_name is not None:

@@ -86,27 +86,24 @@ def _build_nbr_idx(level: "Level", coord_limit: int) -> jnp.ndarray:
     V = level.key_hi.shape[0]
     coords = level.coords
     q_hi_list, q_lo_list = [], []
-    for k, (dx, dy, dz) in enumerate(_KS3_OFFSETS):
+    for (dx, dy, dz) in _KS3_OFFSETS:
         if (dx, dy, dz) == (0, 0, 0):
-            # Identity tap — no lookup needed, patched below.
-            q_hi_list.append(jnp.full((V,), K.INVALID_KEY, jnp.int32))
-            q_lo_list.append(jnp.full((V,), K.INVALID_KEY, jnp.int32))
-            continue
+            continue  # identity tap — patched in below, not searched
         qc = coords + jnp.array([dx, dy, dz], jnp.int32)
         in_bounds = jnp.all((qc >= 0) & (qc < coord_limit), axis=-1)
         q_valid = level.valid & in_bounds
         hi, lo = K.pack_keys(level.batch, qc, q_valid)
         q_hi_list.append(hi)
         q_lo_list.append(lo)
-    q_hi = jnp.stack(q_hi_list, axis=1)  # [V, 27]
+    q_hi = jnp.stack(q_hi_list, axis=1)  # [V, 26]
     q_lo = jnp.stack(q_lo_list, axis=1)
-    nbr = K.sorted_join(level.key_hi, level.key_lo, q_hi, q_lo)
+    nbr26 = K.sorted_join(level.key_hi, level.key_lo, q_hi, q_lo)
     center = 13  # (0,0,0) offset index
     self_idx = jnp.where(level.valid,
                          jnp.arange(V, dtype=jnp.int32),
-                         jnp.int32(V))
-    nbr = nbr.at[:, center].set(self_idx)
-    return nbr
+                         jnp.int32(V))[:, None]
+    return jnp.concatenate(
+        [nbr26[:, :center], self_idx, nbr26[:, center:]], axis=1)
 
 
 def _corner_maps(points, batch_idx, pt_valid, level: "Level", lshift: int):

@@ -122,21 +122,24 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
     q_hi = q_hi.reshape(-1)
     q_lo = q_lo.reshape(-1)
     Q = q_hi.shape[0]
-    n = V + Q
 
+    # Pack (is_query, index) into one int32 operand: table rows carry their
+    # index (< 2^30), query rows carry index | QBIT.  Sorting this as the
+    # third key both breaks ties table-first and carries the payload — one
+    # fewer sort operand.
+    QBIT = jnp.int32(1 << 30)
     keys_hi = jnp.concatenate([table_hi, q_hi])
     keys_lo = jnp.concatenate([table_lo, q_lo])
-    is_q = jnp.concatenate([jnp.zeros((V,), jnp.int32),
-                            jnp.ones((Q,), jnp.int32)])
-    payload = jnp.concatenate([jnp.arange(V, dtype=jnp.int32),
-                               jnp.arange(Q, dtype=jnp.int32)])
-    s_hi, s_lo, s_isq, s_pay = jax.lax.sort(
-        (keys_hi, keys_lo, is_q, payload), num_keys=3)
+    tag = jnp.concatenate([jnp.arange(V, dtype=jnp.int32),
+                           jnp.arange(Q, dtype=jnp.int32) | QBIT])
+    s_hi, s_lo, s_tag = jax.lax.sort((keys_hi, keys_lo, tag), num_keys=3)
+    s_isq = s_tag >= QBIT
+    s_pay = s_tag & (QBIT - 1)
 
     # Last table index at or before each position; monotone since the table
     # is sorted, so cummax of (table index | -1) is exactly "latest match
     # candidate".
-    tbl_here = jnp.where(s_isq == 0, s_pay, -1)
+    tbl_here = jnp.where(s_isq, -1, s_pay)
     last_tbl = jax.lax.cummax(tbl_here, axis=0)
 
     safe = jnp.maximum(last_tbl, 0)
@@ -146,7 +149,7 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
           & (s_hi != INVALID_KEY))
     res_sorted = jnp.where(ok, last_tbl, V).astype(jnp.int32)
 
-    scatter_pos = jnp.where(s_isq == 1, s_pay, Q)
+    scatter_pos = jnp.where(s_isq, s_pay, Q)
     out = (jnp.full((Q,), V, jnp.int32)
            .at[scatter_pos].set(res_sorted, mode="drop"))
     return out.reshape(q_shape)
