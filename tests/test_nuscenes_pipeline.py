@@ -1,0 +1,112 @@
+"""NuScenes dataset tests with fabricated preprocess pickles (devkit-free)."""
+
+import os.path as osp
+import pickle
+
+import numpy as np
+
+from fusiontransformer_tpu.data.nuscenes.nuscenes_dataloader import (
+    NuScenesBase, NuScenesSCN)
+from fusiontransformer_tpu.data.nuscenes.projection import (
+    map_pointcloud_to_image, quaternion_rotation_matrix)
+from fusiontransformer_tpu.data.utils.refine_pseudo_labels import (
+    refine_pseudo_labels)
+from PIL import Image
+
+H_IMG, W_IMG = 900, 1600
+
+
+def _fake_pickle(tmp_path, rng, n_scans=3, n_pts=400):
+    nus_dir = tmp_path / "nuscenes"
+    pre_dir = tmp_path / "preprocess"
+    pre_dir.mkdir()
+    (nus_dir / "samples").mkdir(parents=True)
+    records = []
+    for i in range(n_scans):
+        pts = np.stack([
+            rng.uniform(-20, 20, n_pts),      # x right
+            rng.uniform(5, 40, n_pts),        # y front
+            rng.uniform(-2, 4, n_pts),        # z up
+        ], 1).astype(np.float32)
+        rows = rng.uniform(0, H_IMG - 1, n_pts)
+        cols = rng.uniform(0, W_IMG - 1, n_pts)
+        cam_rel = f"samples/cam_{i}.jpg"
+        Image.fromarray(
+            (rng.rand(H_IMG // 10, W_IMG // 10, 3) * 255).astype(np.uint8)
+        ).resize((W_IMG, H_IMG)).save(str(nus_dir / cam_rel))
+        records.append({
+            "points": pts,
+            "seg_labels": rng.randint(0, 11, n_pts).astype(np.uint8),
+            "points_img": np.stack([rows, cols], 1).astype(np.float32),
+            "lidar_path": f"samples/lidar_{i}.bin",
+            "camera_path": cam_rel,
+            "sample_token": f"tok{i}",
+            "scene_name": "scene-0001",
+        })
+    with open(pre_dir / "train.pkl", "wb") as f:
+        pickle.dump(records, f)
+    return str(pre_dir), str(nus_dir)
+
+
+def test_nuscenes_scn_item(tmp_path, rng):
+    pre, nus = _fake_pickle(tmp_path, rng)
+    ds = NuScenesSCN(split=("train",), preprocess_dir=pre, nuscenes_dir=nus,
+                     merge_classes=True, resize=(400, 225), output_orig=True)
+    assert ds.class_names == ["vehicle", "pedestrian", "bike",
+                              "traffic_boundary", "background"]
+    item = ds[0]
+    k = len(item["coords"])
+    assert item["feats"].shape == (k, 4)       # xyz1 for the SPVCNN stem
+    assert item["img"].shape == (225, 400, 3)
+    assert item["seg_label"].max() < 5
+    assert (item["img_indices"][:, 0] < 225).all()
+    assert (item["img_indices"][:, 1] < 400).all()
+
+
+def test_merge_classes_mapping():
+    base_names = NuScenesBase.class_names
+    mapping = -100 * np.ones(len(base_names), int)
+    for cat_idx, cat_list in enumerate(NuScenesBase.categories.values()):
+        for name in cat_list:
+            mapping[base_names.index(name)] = cat_idx
+    assert mapping[base_names.index("car")] == 0
+    assert mapping[base_names.index("bicycle")] == 2
+    assert mapping[base_names.index("background")] == 4
+    assert (mapping >= 0).all()
+
+
+def test_refine_pseudo_labels_median_rule(rng):
+    probs = np.array([0.1, 0.2, 0.3, 0.4, 0.95, 0.96])
+    labels = np.array([1, 1, 1, 1, 2, 2])
+    out = refine_pseudo_labels(probs, labels)
+    # Class 1: median 0.25 -> the two low-confidence points are ignored.
+    assert list(out[:4]) == [-100, -100, 1, 1]
+    # Class 2: median 0.955 > 0.9 -> threshold 0.9, both survive.
+    assert list(out[4:]) == [2, 2]
+
+
+def test_projection_identity_chain(rng):
+    """With identity calib, projection reduces to the pinhole intrinsic."""
+    n = 50
+    pc = np.stack([rng.uniform(-5, 5, n), rng.uniform(-3, 3, n),
+                   rng.uniform(4, 30, n)])  # camera-frame-ish: z forward
+    ident = [1.0, 0.0, 0.0, 0.0]
+    zero = [0.0, 0.0, 0.0]
+    K = np.array([[800.0, 0, 800], [0, 800.0, 450], [0, 0, 1]])
+    info = {
+        "lidar2ego_rotation": ident, "lidar2ego_translation": zero,
+        "ego2global_rotation_lidar": ident, "ego2global_translation_lidar": zero,
+        "ego2global_translation_cam": zero, "ego2global_rotation_cam": ident,
+        "cam2ego_translation": zero, "cam2ego_rotation": ident,
+        "cam_intrinsic": K,
+    }
+    mask, _, pix = map_pointcloud_to_image(pc, (900, 1600, 3), info)
+    expect_u = 800 + 800 * pc[0] / pc[2]
+    expect_v = 450 + 800 * pc[1] / pc[2]
+    np.testing.assert_allclose(pix[:, 0], expect_u[mask], rtol=1e-5)
+    np.testing.assert_allclose(pix[:, 1], expect_v[mask], rtol=1e-5)
+
+    # Quaternion rotation sanity: 90 deg about z maps x->y.
+    q = [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]
+    R = quaternion_rotation_matrix(q)
+    np.testing.assert_allclose(R @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-12)
