@@ -1,0 +1,52 @@
+"""Smoke tests for the legacy xMUDA models (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusiontransformer_tpu.models.xmuda_arch import Net2DSeg, Net3DSeg
+from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+CAPS7 = (128, 128, 96, 64, 48, 32, 16)
+
+
+def _scene(rng, cap=128):
+    coords = np.zeros((cap, 3), np.int32)
+    batch = np.zeros((cap,), np.int32)
+    valid = np.zeros((cap,), bool)
+    feats = np.zeros((cap, 4), np.float32)
+    pts = np.unique(rng.randint(0, 64, size=(100, 3)), axis=0)[:cap]
+    k = len(pts)
+    coords[:k] = pts
+    valid[:k] = True
+    feats[:k] = rng.randn(k, 4)
+    return coords, batch, valid, feats, k
+
+
+def test_net3dseg_scn_unet(rng):
+    coords, batch, valid, feats, k = _scene(rng)
+    hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5))(
+        coords, batch, valid, CAPS7, (0,))
+    model = Net3DSeg(num_classes=20, dual_head=True,
+                     compute_dtype=jnp.float32)
+    data = {"feats": feats}
+    variables = model.init(jax.random.PRNGKey(0), data, hier, train=False)
+    out = model.apply(variables, data, hier, train=False)
+    assert out["seg_logit"].shape == (128, 20)
+    assert out["seg_logit2"].shape == (128, 20)
+    assert np.isfinite(np.asarray(out["seg_logit"])[:k]).all()
+
+
+def test_net2dseg_resnet_unet(rng):
+    h, w, cap = 48, 64, 128
+    img = rng.randn(2, h, w, 3).astype(np.float32)
+    idx = np.stack([rng.randint(0, h, cap), rng.randint(0, w, cap)],
+                   1).astype(np.int32)
+    pb = (np.arange(cap) % 2).astype(np.int32)
+    model = Net2DSeg(num_classes=20, dual_head=False,
+                     compute_dtype=jnp.float32)
+    data = {"img": img, "img_indices": idx, "pt_batch": pb}
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    out = model.apply(variables, data, train=False)
+    assert out["seg_logit"].shape == (cap, 20)
+    assert np.isfinite(np.asarray(out["seg_logit"])).all()
