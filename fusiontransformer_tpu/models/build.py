@@ -88,3 +88,22 @@ def build_model(cfg):
                              name="seg_iou_2d")
 
     raise ValueError(f"Unsupported model config: {cfg.MODEL.TYPE}")
+
+
+def maybe_load_pretrained_image(cfg, params):
+    """Load IMAGE_PRETRAINED_PATH (SimCLR 'backbone.'-prefixed torch ckpt,
+    reference image_models_billinear.py:42-53) into the ViT params in place.
+
+    Returns the number of replaced leaves (0 when no path configured).
+    """
+    path = cfg.MODEL.IMAGE_PRETRAINED_PATH
+    if not path:
+        return 0
+    from fusiontransformer_tpu.utils.torch_convert import (load_pretrained_vit,
+                                                           merge_params)
+    converted = load_pretrained_vit(path, strip_prefix="backbone.")
+    target = params
+    for key in ("image_backbone", "backbone"):
+        if key in target:
+            target = target[key]
+    return merge_params(target, converted)

@@ -97,6 +97,14 @@ class SemanticTrainer:
 
         self.state = init_train_state(cfg, self.model, self.tx,
                                       cfg.TRAIN.BATCH_SIZE, cfg.RNG_SEED)
+        if cfg.MODEL.IMAGE_PRETRAINED_PATH:
+            from fusiontransformer_tpu.models.build import (
+                maybe_load_pretrained_image)
+            params = jax.tree_util.tree_map(np.asarray, self.state.params)
+            n_loaded = maybe_load_pretrained_image(cfg, params)
+            self.state = self.state._replace(params=params)
+            self.logger.info("Loaded %d pretrained image tensors from %s",
+                             n_loaded, cfg.MODEL.IMAGE_PRETRAINED_PATH)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.state.params))
         self.logger.info("#Parameters: %.2e", n_params)
