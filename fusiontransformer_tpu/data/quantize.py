@@ -11,9 +11,16 @@ from __future__ import annotations
 
 import numpy as np
 
+from fusiontransformer_tpu import native
+
 
 def sparse_quantize(coords: np.ndarray):
-    """Args: int voxel coords [N, 3].  Returns (unique_idx [U], inverse [N])."""
+    """Args: int voxel coords [N, 3].  Returns (unique_idx [U], inverse [N]).
+
+    Uses the native C++ sort-unique when the shared library is built
+    (fusiontransformer_tpu/native), else numpy."""
+    if native.available():
+        return native.quantize(coords)
     _, unique_idx, inverse = np.unique(
         coords, axis=0, return_index=True, return_inverse=True)
     return unique_idx.astype(np.int64), inverse.reshape(-1).astype(np.int64)

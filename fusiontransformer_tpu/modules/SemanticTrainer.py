@@ -213,6 +213,14 @@ class SemanticTrainer:
                 if any(k in name for k in keywords):
                     sw.add_scalar("train/" + name, meter.avg,
                                   global_step=epoch)
+            if self.cfg.TRAIN.LOG_HISTOGRAM:
+                # Weight histograms (reference TorchpackCallbacks.py:289-301).
+                for path, leaf in jax.tree_util.tree_flatten_with_path(
+                        self.state.params)[0]:
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    sw.add_histogram("params/" + name,
+                                     np.asarray(leaf).ravel(),
+                                     global_step=epoch)
 
     def validate_for_one_epoch(self, epoch):
         if self.val_dataloader is None:

@@ -27,6 +27,30 @@ from fusiontransformer_tpu.models.losses import (kl_divergence,
 from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
 
 
+def frozen_mask_fn(frozen_patterns):
+    """Zero gradients whose param path matches any regex
+    (TRAIN.FROZEN_PATTERNS, reference ``common/config/base.py:92``)."""
+    import re
+
+    regexes = [re.compile(p) for p in frozen_patterns]
+
+    def mask(grads):
+        def path_str(path):
+            return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+
+        def maybe_zero(path, g):
+            if any(r.search(path_str(path)) for r in regexes):
+                return jnp.zeros_like(g)
+            return g
+
+        flat = jax.tree_util.tree_flatten_with_path(grads)
+        leaves = [maybe_zero(p, g) for p, g in flat[0]]
+        return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+    return mask
+
+
 class TrainState(NamedTuple):
     params: dict
     batch_stats: dict
@@ -110,6 +134,8 @@ def make_train_step(cfg, model, tx, batch_size: int,
     class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
                      if cfg.TRAIN.CLASS_WEIGHTS else None)
     use_lidar = cfg.MODEL.USE_LIDAR
+    frozen = (frozen_mask_fn(cfg.TRAIN.FROZEN_PATTERNS)
+              if cfg.TRAIN.FROZEN_PATTERNS else None)
 
     def step(state: TrainState, batch, rng):
         hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
@@ -126,6 +152,8 @@ def make_train_step(cfg, model, tx, batch_size: int,
 
         (total, (new_bs, out, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if frozen is not None:
+            grads = frozen(grads)
 
         metrics = dict(aux, total_loss=total)
         if hier is not None:
