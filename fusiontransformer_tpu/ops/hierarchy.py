@@ -81,23 +81,24 @@ _KS2_OFFSETS = [(bx, by, bz)
                 for bx in (0, 1) for by in (0, 1) for bz in (0, 1)]
 
 
-def _build_nbr_idx(level: "Level", coord_limit: int) -> jnp.ndarray:
-    """27-neighbor (ks=3, stride=1) kernel map for one level."""
-    V = level.key_hi.shape[0]
+def _nbr_queries(level: "Level", coord_limit: int):
+    """Query keys for the 26 non-center ks=3 offsets: ([V, 26], [V, 26])."""
     coords = level.coords
     q_hi_list, q_lo_list = [], []
     for (dx, dy, dz) in _KS3_OFFSETS:
         if (dx, dy, dz) == (0, 0, 0):
-            continue  # identity tap — patched in below, not searched
+            continue  # identity tap — patched in by the caller, not searched
         qc = coords + jnp.array([dx, dy, dz], jnp.int32)
         in_bounds = jnp.all((qc >= 0) & (qc < coord_limit), axis=-1)
         q_valid = level.valid & in_bounds
         hi, lo = K.pack_keys(level.batch, qc, q_valid)
         q_hi_list.append(hi)
         q_lo_list.append(lo)
-    q_hi = jnp.stack(q_hi_list, axis=1)  # [V, 26]
-    q_lo = jnp.stack(q_lo_list, axis=1)
-    nbr26 = K.sorted_join(level.key_hi, level.key_lo, q_hi, q_lo)
+    return jnp.stack(q_hi_list, axis=1), jnp.stack(q_lo_list, axis=1)
+
+
+def _nbr_from_26(level: "Level", nbr26):
+    V = level.key_hi.shape[0]
     center = 13  # (0,0,0) offset index
     self_idx = jnp.where(level.valid,
                          jnp.arange(V, dtype=jnp.int32),
@@ -106,12 +107,12 @@ def _build_nbr_idx(level: "Level", coord_limit: int) -> jnp.ndarray:
         [nbr26[:, :center], self_idx, nbr26[:, center:]], axis=1)
 
 
-def _corner_maps(points, batch_idx, pt_valid, level: "Level", lshift: int):
-    """Trilinear corner indices/weights of each point at a coarser level.
+def _corner_queries(points, batch_idx, pt_valid, lshift: int):
+    """Trilinear corner query keys + weights at a coarser level.
 
     Mirrors torchsparse ``calc_ti_weights`` semantics (reference
     ``models/utils.py:81-87``): weights of absent corners are zeroed and NOT
-    renormalized.
+    renormalized (zeroing happens in the caller once indices are known).
     """
     base = points >> lshift                        # [N, 3] level units
     frac = (points & ((1 << lshift) - 1)).astype(jnp.float32) / float(1 << lshift)
@@ -125,13 +126,8 @@ def _corner_maps(points, batch_idx, pt_valid, level: "Level", lshift: int):
         wy = frac[:, 1] if by else (1.0 - frac[:, 1])
         wz = frac[:, 2] if bz else (1.0 - frac[:, 2])
         w_list.append(wx * wy * wz)
-    q_hi = jnp.stack(q_hi_list, axis=1)            # [N, 8]
-    q_lo = jnp.stack(q_lo_list, axis=1)
-    w = jnp.stack(w_list, axis=1)                  # [N, 8]
-    idx = K.sorted_join(level.key_hi, level.key_lo, q_hi, q_lo)
-    V = level.key_hi.shape[0]
-    w = jnp.where(idx == V, 0.0, w)
-    return idx, w.astype(jnp.float32)
+    return (jnp.stack(q_hi_list, axis=1), jnp.stack(q_lo_list, axis=1),
+            jnp.stack(w_list, axis=1).astype(jnp.float32))
 
 
 def build_hierarchy(coords, batch_idx, valid,
@@ -177,34 +173,29 @@ def build_hierarchy(coords, batch_idx, valid,
     pt_sorted_pos = jnp.where(valid, pt_sorted_pos, N)
     vox0_point_idx = jnp.where(valid_s, perm, N).astype(jnp.int32)
 
-    # ----- levels 1..L: sort parent keys, then cumsum-unique ---------------
-    # NOTE: lexicographic order is NOT preserved by coords >> 1 (y restarts
-    # between x=2k and x=2k+1), so each level re-sorts its parent keys.
+    # ----- levels 1..L: Morton shift + cumsum-unique (NO re-sort) ----------
+    # morton >> 3 preserves lexicographic order, so the parent key sequence
+    # of an already-sorted level is itself sorted: adjacent-compare + cumsum
+    # yields the coarser level directly.
     for l in range(1, num_levels):
         prev = levels[l - 1]
         cap = level_caps[l]
         cap_prev = level_caps[l - 1]
-        pcoords = prev.coords >> 1
-        phi, plo = K.pack_keys(prev.batch, pcoords, prev.valid)
-        sp_hi, sp_lo, child_of_slot = K.sort_by_key(
-            phi, plo, jnp.arange(cap_prev, dtype=jnp.int32))
-        is_first, position, nuniq = K.unique_sorted(sp_hi, sp_lo)
+        phi, plo = K.parent_keys(prev.key_hi, prev.key_lo, prev.valid)
+        is_first, position, nuniq = K.unique_sorted(phi, plo)
 
-        # Map the dense unique rank back to each child voxel of level l-1.
-        pos_of_child = (jnp.zeros((cap_prev,), jnp.int32)
-                        .at[child_of_slot].set(position.astype(jnp.int32)))
-        in_cap = pos_of_child < cap
-        parent_idx = jnp.where(prev.valid & in_cap, pos_of_child,
+        in_cap = position < cap
+        parent_idx = jnp.where(prev.valid & in_cap, position,
                                cap).astype(jnp.int32)
-        ck = prev.coords & 1
-        child_kidx = (ck[:, 0] * 4 + ck[:, 1] * 2 + ck[:, 2]).astype(jnp.int32)
+        # Low 3 Morton bits = the child's octant = the ks2 offset index.
+        child_kidx = (prev.key_lo & 7).astype(jnp.int32)
         parent_links.append((parent_idx, child_kidx))
 
-        scatter_pos = jnp.where(is_first & (position < cap), position, cap)
+        scatter_pos = jnp.where(is_first & in_cap, position, cap)
         key_hi = (jnp.full((cap,), K.INVALID_KEY, jnp.int32)
-                  .at[scatter_pos].set(sp_hi, mode="drop"))
+                  .at[scatter_pos].set(phi, mode="drop"))
         key_lo = (jnp.full((cap,), K.INVALID_KEY, jnp.int32)
-                  .at[scatter_pos].set(sp_lo, mode="drop"))
+                  .at[scatter_pos].set(plo, mode="drop"))
         b_l, c_l = K.unpack_keys(key_hi, key_lo)
         valid_l = key_hi != K.INVALID_KEY
         child_idx = (jnp.full((cap, 8), cap_prev, jnp.int32)
@@ -222,32 +213,47 @@ def build_hierarchy(coords, batch_idx, valid,
             parent_idx=None, child_kidx=None,
         ))
 
-    # ----- attach parent links + ks3 rulebooks ---------------------------
+    # ----- kernel maps: ONE sort-join per level ---------------------------
+    # The 26 ks3 neighbor queries and (where needed) the 8 trilinear corner
+    # queries of all points share a single join, so each level costs exactly
+    # one lax.sort — 6 sorts total for a 5-level hierarchy (input sort + 5
+    # joins), which also keeps XLA compile time bounded (each sort instance
+    # compiles separately).
     out_levels = []
+    pt_corner_idx = [None] * num_levels
+    pt_corner_w = [None] * num_levels
+    pt_voxel_idx = [None] * num_levels
+    if 0 in point_levels:
+        # Stride-1: points coincide with voxels, so trilinear devoxelize
+        # degenerates to an identity gather (weight-1 corner 0).
+        pt_voxel_idx[0] = pt_sorted_pos
+
     for l in range(num_levels):
         lvl = levels[l]
         if l < num_levels - 1:
             p_idx, c_kidx = parent_links[l]
         else:
             p_idx, c_kidx = None, None
-        nbr = _build_nbr_idx(lvl, coord_limit=1 << (full_scale_log2 - l))
-        out_levels.append(lvl._replace(nbr_idx=nbr, parent_idx=p_idx,
-                                       child_kidx=c_kidx))
 
-    # ----- point <-> voxel transfer maps ----------------------------------
-    pt_corner_idx = [None] * num_levels
-    pt_corner_w = [None] * num_levels
-    pt_voxel_idx = [None] * num_levels
-    for l in point_levels:
-        if l == 0:
-            # Stride-1: points coincide with voxel corners, so trilinear
-            # devoxelize degenerates to an identity gather (weight-1 corner 0).
-            pt_voxel_idx[0] = pt_sorted_pos
-        else:
-            idx8, w8 = _corner_maps(coords, batch_idx, valid, out_levels[l], l)
+        cap = level_caps[l]
+        nq_hi, nq_lo = _nbr_queries(lvl, 1 << (full_scale_log2 - l))
+        if l in point_levels and l != 0:
+            cq_hi, cq_lo, w8 = _corner_queries(coords, batch_idx, valid, l)
+            q_hi = jnp.concatenate([nq_hi.reshape(-1), cq_hi.reshape(-1)])
+            q_lo = jnp.concatenate([nq_lo.reshape(-1), cq_lo.reshape(-1)])
+            res = K.sorted_join(lvl.key_hi, lvl.key_lo, q_hi, q_lo)
+            nbr26 = res[:cap * 26].reshape(cap, 26)
+            idx8 = res[cap * 26:].reshape(-1, 8)
+            w8 = jnp.where(idx8 == cap, 0.0, w8)
             pt_corner_idx[l] = idx8
             pt_corner_w[l] = w8
-            pt_voxel_idx[l] = jnp.where(valid, idx8[:, 0], level_caps[l])
+            pt_voxel_idx[l] = jnp.where(valid, idx8[:, 0], cap)
+        else:
+            nbr26 = K.sorted_join(lvl.key_hi, lvl.key_lo, nq_hi, nq_lo)
+
+        nbr = _nbr_from_26(lvl, nbr26)
+        out_levels.append(lvl._replace(nbr_idx=nbr, parent_idx=p_idx,
+                                       child_kidx=c_kidx))
 
     return Hierarchy(
         levels=tuple(out_levels),

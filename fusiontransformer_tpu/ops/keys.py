@@ -1,21 +1,27 @@
-"""Voxel-key packing, lexicographic sort, and sorted-table lookup.
+"""Morton voxel keys, lexicographic sort, and sorted-table lookup.
 
 TPU-native replacement for torchsparse's GPU hash tables (reference
-``models/utils.py:19-27`` uses ``spf.sphash``/``sphashquery``).  On TPU we
-avoid hashing entirely: a voxel at integer coords ``(x, y, z)`` in scan ``b``
-is identified by a *pair* of int32 keys
+``models/utils.py:19-27`` uses ``spf.sphash``/``sphashquery``).  No hashing:
+a voxel at integer coords ``(x, y, z)`` in scan ``b`` is identified by a pair
+of int32 keys holding the scan index and the 36-bit MORTON (z-order) code of
+the coords:
 
-    hi = (b << 12) | x          lo = (y << 12) | z
+    hi = (b << 6) | morton[35:30]       lo = morton[29:0]
 
-which orders lexicographically as (b, x, y, z).  Coordinates are bounded by
-``full_scale`` = 4096 = 2**12 (reference ``config/FusionTransformerConfig.py:81``),
-so each field fits in 12 bits and the pair fits native int32 — no int64 (and
-thus no x64 mode) is needed anywhere.
+Coordinates are bounded by ``full_scale`` = 4096 = 2**12 (reference
+``config/FusionTransformerConfig.py:81``), so the code fits the pair with no
+int64 anywhere.  Morton order is the load-bearing choice: ``morton >> 3`` is
+the parent voxel at the next coarser level AND preserves lexicographic order,
+so one sort of the input voxels orders EVERY level of the UNet hierarchy —
+the coordinate pyramid needs zero additional sorts (plain lexicographic
+(x, y, z) packing loses order under coordinate halving).  The low 3 bits are
+the child's octant within its parent, which is exactly the ks=2 kernel-offset
+index.
 
-* ``sort_by_key`` — stable lexicographic sort via ``lax.sort`` with two keys.
-* ``lex_lookup`` — vectorized branchless binary search (lower bound) over the
-  sorted table; replaces ``sphashquery``.  O(log V) gathers, fully jittable,
-  static shapes.
+* ``sort_by_key``  — stable two-key sort via ``lax.sort``.
+* ``sorted_join``  — exact-match lookup of (unsorted) query keys in a sorted
+  table via one sort + cummax propagation; replaces ``sphashquery``.
+* ``lex_lookup``   — binary-search fallback (compile-cheap, slower at scale).
 """
 
 from __future__ import annotations
@@ -32,19 +38,43 @@ COORD_MASK = (1 << COORD_BITS) - 1
 INVALID_KEY = jnp.int32(2**31 - 1)
 
 
+def _part1by2(v):
+    """Spread the low 10 bits of v so bit i lands at bit 3*i."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def _compact1by2(v):
+    """Inverse of _part1by2."""
+    v = v & 0x9249249
+    v = (v | (v >> 2)) & 0x30C30C3
+    v = (v | (v >> 4)) & 0x300F00F
+    v = (v | (v >> 8)) & 0x30000FF
+    v = (v | (v >> 16)) & 0x3FF
+    return v
+
+
 def pack_keys(batch_idx, coords, valid):
-    """Pack (batch, x, y, z) into a lexicographic (hi, lo) int32 key pair.
+    """Pack (batch, x, y, z) into the Morton (hi, lo) int32 key pair.
+
+    Bit layout: morton bit 3i+2 <- x_i, 3i+1 <- y_i, 3i <- z_i, so
+    ``lo & 7 == (x&1)*4 + (y&1)*2 + (z&1)`` (the ks=2 offset convention).
 
     Args:
-      batch_idx: [N] int32 scan index within the batch.
+      batch_idx: [N] int32 scan index (< 2**24).
       coords: [N, 3] int32, each component in [0, 4096).
       valid: [N] bool; invalid rows get INVALID_KEY so they sort last.
-
-    Returns:
-      (hi, lo): two [N] int32 arrays.
     """
-    hi = (batch_idx << COORD_BITS) | coords[:, 0]
-    lo = (coords[:, 1] << COORD_BITS) | coords[:, 2]
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    lo = (_part1by2(x) << 2) | (_part1by2(y) << 1) | _part1by2(z)
+    mh = ((((x >> 10) & 1) << 2) | (((y >> 10) & 1) << 1) | ((z >> 10) & 1)
+          | (((x >> 11) & 1) << 5) | (((y >> 11) & 1) << 4)
+          | (((z >> 11) & 1) << 3))
+    hi = (batch_idx << 6) | mh
     hi = jnp.where(valid, hi, INVALID_KEY)
     lo = jnp.where(valid, lo, INVALID_KEY)
     return hi.astype(jnp.int32), lo.astype(jnp.int32)
@@ -52,11 +82,25 @@ def pack_keys(batch_idx, coords, valid):
 
 def unpack_keys(hi, lo):
     """Inverse of pack_keys (only meaningful for valid keys)."""
-    batch_idx = hi >> COORD_BITS
-    x = hi & COORD_MASK
-    y = lo >> COORD_BITS
-    z = lo & COORD_MASK
+    batch_idx = hi >> 6
+    mh = hi & 0x3F
+    x = _compact1by2(lo >> 2) | (((mh >> 2) & 1) << 10) | (((mh >> 5) & 1) << 11)
+    y = _compact1by2(lo >> 1) | (((mh >> 1) & 1) << 10) | (((mh >> 4) & 1) << 11)
+    z = _compact1by2(lo) | ((mh & 1) << 10) | (((mh >> 3) & 1) << 11)
     return batch_idx, jnp.stack([x, y, z], axis=-1)
+
+
+def parent_keys(hi, lo, valid):
+    """Morton code of the parent voxel (coords >> 1): the 36-bit code shifted
+    right by 3, batch field untouched.  Order-preserving — the core reason
+    the hierarchy needs no per-level re-sort."""
+    mh = hi & 0x3F
+    b = hi & ~jnp.int32(0x3F)
+    new_lo = ((mh & 7) << 27) | ((lo >> 3) & 0x7FFFFFF)
+    new_hi = b | (mh >> 3)
+    new_hi = jnp.where(valid, new_hi, INVALID_KEY)
+    new_lo = jnp.where(valid, new_lo, INVALID_KEY)
+    return new_hi.astype(jnp.int32), new_lo.astype(jnp.int32)
 
 
 def sort_by_key(hi, lo, *payload):
@@ -136,18 +180,24 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
     s_isq = s_tag >= QBIT
     s_pay = s_tag & (QBIT - 1)
 
-    # Last table index at or before each position; monotone since the table
-    # is sorted, so cummax of (table index | -1) is exactly "latest match
-    # candidate".
-    tbl_here = jnp.where(s_isq, -1, s_pay)
-    last_tbl = jax.lax.cummax(tbl_here, axis=0)
+    # Gather-free match test: a query matches iff the most recent table row
+    # lies within the query's own equal-key run.  Both "last table row
+    # position" and "last key-change position" are cummax scans (VPU), and
+    # the matched table INDEX is itself a cummax (monotone because the table
+    # is sorted) — no random memory access at all.
+    n = V + Q
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])])
+    last_tbl_idx = jax.lax.cummax(jnp.where(s_isq, -1, s_pay), axis=0)
+    last_tbl_pos = jax.lax.cummax(jnp.where(s_isq, -1, pos), axis=0)
+    last_new_pos = jax.lax.cummax(jnp.where(is_new, pos, -1), axis=0)
 
-    safe = jnp.maximum(last_tbl, 0)
-    ok = ((last_tbl >= 0)
-          & (table_hi[safe] == s_hi)
-          & (table_lo[safe] == s_lo)
+    ok = ((last_tbl_idx >= 0)
+          & (last_tbl_pos >= last_new_pos)
           & (s_hi != INVALID_KEY))
-    res_sorted = jnp.where(ok, last_tbl, V).astype(jnp.int32)
+    res_sorted = jnp.where(ok, last_tbl_idx, V).astype(jnp.int32)
 
     scatter_pos = jnp.where(s_isq, s_pay, Q)
     out = (jnp.full((Q,), V, jnp.int32)

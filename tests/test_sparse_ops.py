@@ -59,7 +59,7 @@ def test_level0_sort_roundtrip(rng):
     # Sorted keys strictly increasing over valid region (inputs unique per scan).
     hi = np.asarray(l0.key_hi)[:n]
     lo = np.asarray(l0.key_lo)[:n]
-    key = hi.astype(np.int64) * (1 << 24) + lo.astype(np.int64)
+    key = hi.astype(np.int64) * (1 << 31) + lo.astype(np.int64)
     assert np.all(np.diff(key) > 0)
     # Round trip point -> slot -> point.
     pos = np.asarray(h.pt_sorted_pos)
