@@ -170,13 +170,17 @@ class SemanticTrainer:
 
     # ------------------------------------------------------------------ #
     def train_for_one_epoch(self, epoch):
+        from tqdm import tqdm
+
         self.train_metric_logger.reset()
         if hasattr(self, "train_3d_metric"):
             self.train_3d_metric.reset()
         if hasattr(self, "train_2d_metric"):
             self.train_2d_metric.reset()
         self.train_dataloader.set_epoch(epoch)
-        for batch in self.train_dataloader:
+        for batch in tqdm(self.train_dataloader,
+                          desc=f"training for epoch {epoch}",
+                          total=len(self.train_dataloader), leave=False):
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, metrics = self.train_step_fn(
                 self.state, _device_batch(batch), step_rng)
@@ -203,6 +207,28 @@ class SemanticTrainer:
                 "iter: %4d  %s  lr: %.2e", epoch,
                 str(self.train_metric_logger),
                 get_learning_rate(self.state.opt_state))
+        self._write_jsonl(epoch)
+
+    def _write_jsonl(self, epoch):
+        """Per-epoch JSONL metrics stream (torchpack JSONLWriter parity,
+        reference TorchpackInterface.py:135-140)."""
+        if not self.output_dir:
+            return
+        import json
+        rec = {"epoch": epoch,
+               "lr": get_learning_rate(self.state.opt_state)}
+        for name, meter in self.train_metric_logger.meters.items():
+            try:
+                rec["train/" + name] = float(meter.global_avg)
+            except Exception:
+                pass
+        for name, meter in self.val_metric_logger.meters.items():
+            try:
+                rec["val/" + name] = float(meter.global_avg)
+            except Exception:
+                pass
+        with open(osp.join(self.output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def update_summary(self, epoch):
         sw = self.summary_writer
