@@ -119,11 +119,12 @@ def build_flagship(batch_size):
                                    "pt_valid", "img", "img_indices")}
     batch = jax.device_put(batch)  # upload once; steps must not re-upload
 
-    n = batch_size * CAPACITY
-    caps = [n]
-    for f in (0.9, 0.75, 0.6, 0.5):
-        caps.append(max(128, int(round(caps[-1] * f / 128.0)) * 128))
-    caps = tuple(caps)
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.modules.steps import level_caps_from_cfg
+
+    cfg = get_default_cfg()
+    cfg.TPU.POINT_CAPACITY = CAPACITY
+    caps = level_caps_from_cfg(cfg, batch_size)
 
     @jax.jit
     def _init(batch):

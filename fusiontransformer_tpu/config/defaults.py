@@ -211,10 +211,12 @@ _C.TPU = CN()
 # Per-scan point/voxel capacity (level 0). Batches allocate BATCH_SIZE * cap.
 _C.TPU.POINT_CAPACITY = 32768
 # Capacity fraction per downsample level relative to previous level.
-# NOTE: sparse LiDAR returns barely merge at the first 2x downsample (spacing
-# between returns exceeds the 5cm voxel at range), so level-1 needs ~0.9.
-# Overflow is monitored per step (metrics["voxel_overflow"]).
-_C.TPU.LEVEL_CAPACITY_FRACTIONS = (0.9, 0.75, 0.6, 0.5)
+# NOTE: sparse LiDAR returns barely merge under 2x downsampling (the spacing
+# between returns exceeds the voxel size at range), so deep levels need far
+# more capacity than the naive 1/8 geometric intuition suggests.  Defaults
+# are sized for worst-case sparse clouds; tighten per dataset using the
+# per-step overflow metric (metrics["voxel_overflow"], 0 == lossless).
+_C.TPU.LEVEL_CAPACITY_FRACTIONS = (1.0, 0.9, 0.8, 0.7)
 # Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.
