@@ -124,6 +124,10 @@ def build_flagship(batch_size):
 
     cfg = get_default_cfg()
     cfg.TPU.POINT_CAPACITY = CAPACITY
+    # Beam-structured scans (the synthetic generator mimics a 64-beam
+    # pattern) merge like real KITTI; these fractions hold with margin and
+    # zero overflow (asserted below).
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.8, 0.7, 0.6, 0.5)
     caps = level_caps_from_cfg(cfg, batch_size)
 
     @jax.jit
@@ -145,6 +149,17 @@ def build_flagship(batch_size):
         probs = (jax.nn.softmax(out["img_seg_logit"], -1)
                  + jax.nn.softmax(out["lidar_seg_logit"], -1))
         return jnp.argmax(probs, -1)
+
+    @jax.jit
+    def overflow(batch):
+        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                               batch["pt_valid"], caps)
+        return sum(jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
+                   for l in hier.levels)
+
+    n_over = int(np.asarray(overflow(batch)))
+    log(f"voxel overflow with caps {caps}: {n_over}")
+    assert n_over == 0, "bench capacities must be lossless"
 
     return forward, variables, batch
 

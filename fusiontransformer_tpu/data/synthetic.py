@@ -49,27 +49,63 @@ class SyntheticSCN:
         return self.num_scans
 
     def _make_scan(self, rng):
+        """Rotating-beam ray-cast scan (KITTI-like occupancy statistics).
+
+        Rays from a 64-beam pattern hit the ground plane, 2 side facades, or
+        one of a few random boxes — nearest intersection wins.  This matters
+        for benchmarking: beam geometry produces the real dataset's strong
+        voxel merging at coarse levels, which uniform random points do not.
+        """
         n = self.num_points
-        # A ground plane + a few vertical facades, all inside the frustum.
-        pts, labels = [], []
-        remaining = n
-        n_surf = 4
-        for s in range(n_surf):
-            k = remaining if s == n_surf - 1 else n // n_surf
-            remaining -= k
-            depth = rng.uniform(5.0, 40.0, k)
-            u = rng.uniform(0, self.image_width, k)
-            v = rng.uniform(0, self.image_height, k)
-            x = depth
-            y = -(u - self.cx) * depth / self.fx
-            z = -(v - self.cy) * depth / self.fy
-            if s == 0:
-                z = rng.uniform(-1.8, -1.6, k)          # ground
-            pts.append(np.stack([x, y, z], 1))
-            labels.append(np.full(k, 1 + s % (self.num_classes - 1)))
-        points = np.concatenate(pts).astype(np.float32)
-        seg = np.concatenate(labels).astype(np.int64)
-        return points, seg
+        n_beams = 64
+        n_az = (n + n_beams - 1) // n_beams
+        elev = np.linspace(-0.43, 0.05, n_beams)           # rad, ~KITTI HDL-64
+        az_half = np.arctan(self.image_width / (2 * self.fx))
+        az = np.linspace(-az_half, az_half, n_az)
+        ev, av = np.meshgrid(elev, az, indexing="ij")
+        ev = ev.ravel()[:n] + rng.randn(n) * 1e-3
+        av = av.ravel()[:n] + rng.randn(n) * 1e-3
+        # Ray directions in lidar frame (x fwd, y left, z up).
+        dx = np.cos(ev) * np.cos(av)
+        dy = np.cos(ev) * np.sin(av)
+        dz = np.sin(ev)
+
+        t_best = np.full(n, 80.0)                          # max range
+        label = np.zeros(n, np.int64)
+
+        def hit(t, mask, lab):
+            nonlocal t_best, label
+            better = mask & (t > 0.5) & (t < t_best)
+            t_best = np.where(better, t, t_best)
+            label = np.where(better, lab, label)
+
+        # Ground plane z = -1.73 (label 9 = 'road'-slot modulo classes).
+        tz = np.where(dz < -1e-4, -1.73 / dz, np.inf)
+        hit(tz, np.isfinite(tz), 9 % self.num_classes or 1)
+        # Side facades y = +/- (8..20)m (label 13-slot, 'building').
+        for sgn in (-1.0, 1.0):
+            ywall = sgn * rng.uniform(8.0, 20.0)
+            ty = np.where(sgn * dy > 1e-4, ywall / dy, np.inf)
+            hit(ty, np.isfinite(ty), 13 % self.num_classes or 2)
+        # A few boxes (cars etc.).
+        for _ in range(6):
+            cx = rng.uniform(6.0, 45.0)
+            cyy = rng.uniform(-8.0, 8.0)
+            half = rng.uniform(0.8, 2.2)
+            tx = cx / np.maximum(dx, 1e-4)
+            py = tx * dy
+            pz = tx * dz
+            inside = (np.abs(py - cyy) < half) & (pz > -1.73) & (pz < 0.3)
+            hit(tx, inside, 1 + int(rng.randint(1, self.num_classes - 1)))
+
+        valid = t_best < 79.0
+        t = np.where(valid, t_best, 60.0)
+        points = np.stack([t * dx, t * dy, t * dz], 1).astype(np.float32)
+        seg = np.where(valid, label, 0).astype(np.int64)
+        seg[seg == 0] = 1 + (np.arange(n)[seg == 0] % (self.num_classes - 1))
+        # Keep only rays that project into the camera frustum.
+        keep = points[:, 0] > 1.0
+        return points[keep], seg[keep]
 
     def _project(self, points):
         """Pinhole projection to (row, col); all synthetic points x>0."""
