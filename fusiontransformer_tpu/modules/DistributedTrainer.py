@@ -72,7 +72,7 @@ class DistributedTrainer(SemanticTrainer):
         (TorchpackCallbacks.py:245-274)."""
         if any(self.best_metric_epoch.get(m) == epoch
                for m in self.modalities):
-            extra = {"epoch": epoch, "step": np.asarray(self.state.step)}
+            extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step)}
             for m in self.modalities:
                 if self.best_metric[m] is not None:
                     extra[f"{m}_{self.best_metric_name}"] = float(

@@ -284,7 +284,10 @@ class SemanticTrainer:
                 or epoch == self.cfg.SCHEDULER.MAX_EPOCH \
                 or any(self.best_metric_epoch.get(m) == epoch
                        for m in self.modalities):
-            extra = {"epoch": epoch, "step": np.asarray(self.state.step)}
+            # 'epoch' stores the NEXT epoch to run, so resume continues after
+            # the checkpointed one (the reference stores the raw index but its
+            # plain trainer never actually resumes the loop; we do).
+            extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step)}
             for m in self.modalities:
                 if self.best_metric[m] is not None:
                     extra[f"{m}_{self.best_metric_name}"] = float(

@@ -53,6 +53,8 @@ def test_lidar_train_val_checkpoint_resume(tmp_path):
     assert trainer.checkpointer.has_checkpoint()
     trainer2 = SemanticTrainer(cfg, str(tmp_path), "testrun2")
     assert trainer2.start_epoch >= 1
-    p1 = trainer.state.params["backbone"]["stem0"]["kernel"]
+    from fusiontransformer_tpu.utils.checkpoint import CheckpointerV2
+    payload = CheckpointerV2(save_dir=str(tmp_path)).load(resume=True)
+    p1 = payload["params"]["backbone"]["stem0"]["kernel"]
     p2 = trainer2.state.params["backbone"]["stem0"]["kernel"]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
