@@ -187,6 +187,18 @@ class SemanticTrainer:
             host = {k: v for k, v in metrics.items()
                     if not k.startswith("cm_")}
             host = jax.device_get(host)
+            # Failure detection: a non-finite loss means the run is dead —
+            # fail fast with state intact rather than burning epochs
+            # (jax.debug_nans is the opt-in fine-grained variant, utils/rng).
+            if not np.isfinite(float(host.get("total_loss", 0.0))):
+                raise FloatingPointError(
+                    f"non-finite loss at step {int(self.state.step)}: "
+                    f"{ {k: float(v) for k, v in host.items()} }")
+            if int(host.get("voxel_overflow", 0)) > 0:
+                self.logger.warning(
+                    "voxel capacity overflow: %d voxels dropped this step — "
+                    "raise TPU.LEVEL_CAPACITY_FRACTIONS",
+                    int(host["voxel_overflow"]))
             self.train_metric_logger.update(
                 **{k: float(v) for k, v in host.items()})
             if "cm_3d" in metrics and hasattr(self, "train_3d_metric"):
