@@ -74,6 +74,13 @@ def main():
         comment="{}.train.{:s}".format(cfg["MODEL"]["TYPE"], run_name))
 
     import jax
+    # Persistent XLA compile cache: cold flagship compiles are minutes; any
+    # repeated run with the same shapes is seconds.
+    import os as _os
+    cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/ftx_jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     logger.info("%d device(s) available: %s", jax.device_count(),
                 jax.devices())
     logger.info("Loaded configuration file %s", args.config_file)

@@ -34,7 +34,8 @@ class CheckpointerV2:
     _LAST = "last_checkpoint"
 
     def __init__(self, save_dir="", logger=None, max_to_keep=100, postfix=""):
-        self.save_dir = save_dir
+        # orbax requires absolute paths; keep relative OUTPUT_DIRs working.
+        self.save_dir = osp.abspath(save_dir) if save_dir else save_dir
         self.logger = logger or logging.getLogger(__name__)
         self.max_to_keep = max_to_keep
         self.postfix = postfix
@@ -103,6 +104,7 @@ class CheckpointerV2:
         if not path:
             self.logger.info("No checkpoint found; training from scratch.")
             return {}
+        path = osp.abspath(path)
         self.logger.info("Loading checkpoint from %s", path)
         if _HAS_ORBAX and osp.isdir(path):
             payload = ocp.PyTreeCheckpointer().restore(path)
