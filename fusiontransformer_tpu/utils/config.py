@@ -91,6 +91,10 @@ class CfgNode(dict):
             f"Override list has odd length: {cfg_list}"
         )
         for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
+            if full_key.startswith("--"):
+                raise ValueError(
+                    f"Flag {full_key!r} found among KEY VALUE overrides — "
+                    "place flags like --ckpt BEFORE the dotted overrides")
             keys = full_key.split(".")
             d = self
             for sub in keys[:-1]:
