@@ -60,6 +60,12 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
                               getattr(dataset, "image_height", 370))
     image_width = kwargs.get("image_width",
                              getattr(dataset, "image_width", 1226))
+    # bottom_crop shrinks train images to (crop_h, crop_w); the batch buffer
+    # must match (the ViT consumes the crop, reference dataloader :169-191),
+    # while point lifting keeps the fixed full-res token mapping.
+    if is_train and augmentation.get("bottom_crop"):
+        crop_w, crop_h = augmentation["bottom_crop"]
+        image_width, image_height = crop_w, crop_h
     collate = get_collate(is_train=is_train, batch_size=batch_size,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
                           image_height=image_height, image_width=image_width)
