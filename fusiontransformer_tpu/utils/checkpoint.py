@@ -84,6 +84,12 @@ class CheckpointerV2:
         with open(self._manifest_path(), "w") as f:
             f.write("\n".join(self._saved))
         self.logger.info("Saved checkpoint to %s", path)
+        # W&B artifact upload (reference checkpoint.py:62); no-op without wandb.
+        try:
+            from fusiontransformer_tpu.utils import wandb_stub as wandb
+            wandb.save(path)
+        except Exception:
+            pass
 
     def _gc(self):
         while len(self._saved) > self.max_to_keep:
