@@ -80,14 +80,17 @@ class UNetSCN(nn.Module):
                 x, mask, train)
             h = nn.relu(h)
             h = DownConv2(planes[level + 1], cdt,
-                          name=f"lvl{level}_down")(h, L[level + 1].child_idx)
+                          name=f"lvl{level}_down")(
+                h, L[level + 1].child_idx, L[level].parent_idx,
+                L[level].child_kidx)
             h = u(level + 1, h)
             # Up: BNReLU -> Deconvolution ks2 s2.
             h = MaskedBatchNorm(out_dtype=cdt, name=f"lvl{level}_up_bn")(
                 h, L[level + 1].valid, train)
             h = nn.relu(h)
             h = UpConv2(planes[level], cdt, name=f"lvl{level}_up")(
-                h, L[level].parent_idx, L[level].child_kidx)
+                h, L[level].parent_idx, L[level].child_kidx,
+                L[level + 1].child_idx)
             # JoinTable concat + decode blocks.
             x = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
             for r in range(self.block_reps):

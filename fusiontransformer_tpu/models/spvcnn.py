@@ -57,11 +57,12 @@ class DownConv2(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, child_idx):
+    def __call__(self, x, child_idx, parent_idx=None, child_kidx=None):
         cin = x.shape[-1]
         w = self.param("kernel", torch_uniform_init(cin * 8),
                        (8, cin, self.features))
-        return sc.down_conv2(x, w, child_idx, self.compute_dtype)
+        return sc.down_conv2(x, w, child_idx, parent_idx, child_kidx,
+                             self.compute_dtype)
 
 
 class UpConv2(nn.Module):
@@ -69,11 +70,12 @@ class UpConv2(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, parent_idx, child_kidx):
+    def __call__(self, x, parent_idx, child_kidx, child_idx=None):
         cin = x.shape[-1]
         w = self.param("kernel", torch_uniform_init(cin * 8),
                        (8, cin, self.features))
-        return sc.up_conv2(x, w, parent_idx, child_kidx, self.compute_dtype)
+        return sc.up_conv2(x, w, parent_idx, child_kidx, child_idx,
+                           self.compute_dtype)
 
 
 class Conv1x1(nn.Module):
@@ -191,7 +193,8 @@ class SPVCNN(nn.Module):
         for i in range(4):
             lvl = L[i + 1]
             h = DownConv2(down_feats[i], cdt,
-                          name=f"stage{i+1}_down")(feats_in, lvl.child_idx)
+                          name=f"stage{i+1}_down")(
+                feats_in, lvl.child_idx, L[i].parent_idx, L[i].child_kidx)
             h = MaskedBatchNorm(out_dtype=cdt, name=f"stage{i+1}_down_bn")(h, masks[i + 1], train)
             h = nn.relu(h)
             h = ResidualBlock(out_feats[i], cdt, name=f"stage{i+1}_res1")(
@@ -215,8 +218,8 @@ class SPVCNN(nn.Module):
         y = sc.voxelize_mean(z1, hier.pt_voxel_idx[4], hier.pt_valid,
                              L[4].valid.shape[0])
         y = drop(y)
-        y = UpConv2(cs[5], cdt, name="up1_deconv")(y, L[3].parent_idx,
-                                                   L[3].child_kidx)
+        y = UpConv2(cs[5], cdt, name="up1_deconv")(
+            y, L[3].parent_idx, L[3].child_kidx, L[4].child_idx)
         y = MaskedBatchNorm(out_dtype=cdt, name="up1_deconv_bn")(y, masks[3], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[3]], axis=-1)
@@ -225,8 +228,8 @@ class SPVCNN(nn.Module):
         y = ResidualBlock(cs[5], cdt, name="up1_res2")(y, L[3].nbr_idx,
                                                        masks[3], train)
 
-        y = UpConv2(cs[6], cdt, name="up2_deconv")(y, L[2].parent_idx,
-                                                   L[2].child_kidx)
+        y = UpConv2(cs[6], cdt, name="up2_deconv")(
+            y, L[2].parent_idx, L[2].child_kidx, L[3].child_idx)
         y = MaskedBatchNorm(out_dtype=cdt, name="up2_deconv_bn")(y, masks[2], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[2]], axis=-1)
@@ -245,8 +248,8 @@ class SPVCNN(nn.Module):
         y = sc.voxelize_mean(z2, hier.pt_voxel_idx[2], hier.pt_valid,
                              L[2].valid.shape[0])
         y = drop(y)
-        y = UpConv2(cs[7], cdt, name="up3_deconv")(y, L[1].parent_idx,
-                                                   L[1].child_kidx)
+        y = UpConv2(cs[7], cdt, name="up3_deconv")(
+            y, L[1].parent_idx, L[1].child_kidx, L[2].child_idx)
         y = MaskedBatchNorm(out_dtype=cdt, name="up3_deconv_bn")(y, masks[1], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[1]], axis=-1)
@@ -255,8 +258,8 @@ class SPVCNN(nn.Module):
         y = ResidualBlock(cs[7], cdt, name="up3_res2")(y, L[1].nbr_idx,
                                                        masks[1], train)
 
-        y = UpConv2(cs[8], cdt, name="up4_deconv")(y, L[0].parent_idx,
-                                                   L[0].child_kidx)
+        y = UpConv2(cs[8], cdt, name="up4_deconv")(
+            y, L[0].parent_idx, L[0].child_kidx, L[1].child_idx)
         y = MaskedBatchNorm(out_dtype=cdt, name="up4_deconv_bn")(y, masks[0], train)
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[0]], axis=-1)

@@ -26,14 +26,69 @@ contribute zeros — this is how masking stays branch-free.  Weights are cast to
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pad_row(feats):
     """Append one zero row so sentinel index V gathers zeros."""
     return jnp.concatenate(
         [feats, jnp.zeros((1,) + feats.shape[1:], feats.dtype)], axis=0)
+
+
+def _float0(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+# --------------------------------------------------------------------------- #
+# ks=3 stride=1
+#
+# Custom VJP: the 27-offset set is mirror-symmetric (offsets[26-k] ==
+# -offsets[k]), so the adjoint of "gather neighbors" is itself a neighbor
+# gather through the column-reversed kernel map — the backward pass needs NO
+# scatter (XLA's autodiff scatter-adds are ~8x slower than gathers on TPU for
+# these shapes; tracing showed them as ~half the train-step time).
+# --------------------------------------------------------------------------- #
+
+def _subm3_impl(feats, w, nbr_idx, cdt):
+    V, cin = feats.shape
+    cout = w.shape[-1]
+    g = pad_row(feats.astype(cdt))[nbr_idx].reshape(V, 27 * cin)
+    wk = w.astype(cdt).reshape(27 * cin, cout)
+    return jnp.dot(g, wk, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _subm3(feats, w, nbr_idx, cdt):
+    return _subm3_impl(feats, w, nbr_idx, cdt)
+
+
+def _subm3_fwd(feats, w, nbr_idx, cdt):
+    return _subm3_impl(feats, w, nbr_idx, cdt), (feats, w, nbr_idx)
+
+
+def _subm3_bwd(cdt, res, dout):
+    feats, w, nbr_idx = res
+    V, cin = feats.shape
+    cout = w.shape[-1]
+    dout_c = dout.astype(cdt)
+    # dW = gathered(feats)^T @ dout (gather recomputed: cheaper than saving
+    # the [V, 27, Cin] activation for the backward pass).
+    g = pad_row(feats.astype(cdt))[nbr_idx].reshape(V, 27 * cin)
+    dw = jnp.dot(g.T, dout_c, preferred_element_type=jnp.float32)
+    dw = dw.reshape(27, cin, cout).astype(w.dtype)
+    # dfeats[u] = sum_j dout[nbr[u, j]] @ W[26-j]^T  (mirror symmetry).
+    gd = pad_row(dout_c)[nbr_idx].reshape(V, 27 * cout)
+    w_rev = w.astype(cdt)[::-1].transpose(0, 2, 1).reshape(27 * cout, cin)
+    dfeats = jnp.dot(gd, w_rev,
+                     preferred_element_type=jnp.float32).astype(feats.dtype)
+    return dfeats, dw, _float0(nbr_idx)
+
+
+_subm3.defvjp(_subm3_fwd, _subm3_bwd)
 
 
 def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16):
@@ -46,35 +101,116 @@ def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16):
     Returns:
       [V, Cout] float32.
     """
-    V, cin = feats.shape
+    return _subm3(feats, w, nbr_idx, compute_dtype)
+
+
+# --------------------------------------------------------------------------- #
+# ks=2 stride=2 down / transposed up.
+#
+# The two ops are exact adjoints of each other through (child_idx,
+# parent_idx, child_kidx), so each one's backward is the other's forward
+# pattern — again scatter-free.
+# --------------------------------------------------------------------------- #
+
+def _down2_impl(feats_fine, w, child_idx, cdt):
+    vc = child_idx.shape[0]
+    cin = feats_fine.shape[-1]
     cout = w.shape[-1]
-    fe = pad_row(feats.astype(compute_dtype))
-    g = fe[nbr_idx]                                   # [V, 27, Cin]
-    g = g.reshape(V, 27 * cin)
-    wk = w.astype(compute_dtype).reshape(27 * cin, cout)
+    g = pad_row(feats_fine.astype(cdt))[child_idx].reshape(vc, 8 * cin)
+    wk = w.astype(cdt).reshape(8 * cin, cout)
     return jnp.dot(g, wk, preferred_element_type=jnp.float32)
 
 
-def down_conv2(feats_fine, w, child_idx, compute_dtype=jnp.bfloat16):
+def _up2_impl(feats_coarse, w, parent_idx, child_kidx, cdt):
+    vc, cin = feats_coarse.shape
+    cout = w.shape[-1]
+    fc = feats_coarse.astype(cdt)
+    wk = w.astype(cdt).transpose(1, 0, 2).reshape(cin, 8 * cout)
+    y = jnp.dot(fc, wk, preferred_element_type=jnp.float32)   # [Vc, 8*Cout]
+    y = pad_row(y.reshape(vc, 8, cout))                       # [Vc+1, 8, Cout]
+    return y[parent_idx, child_kidx]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _down2(feats_fine, w, child_idx, parent_idx, child_kidx, cdt):
+    return _down2_impl(feats_fine, w, child_idx, cdt)
+
+
+def _down2_fwd(feats_fine, w, child_idx, parent_idx, child_kidx, cdt):
+    return (_down2_impl(feats_fine, w, child_idx, cdt),
+            (feats_fine, w, child_idx, parent_idx, child_kidx))
+
+
+def _down2_bwd(cdt, res, dout):
+    feats_fine, w, child_idx, parent_idx, child_kidx = res
+    vc = child_idx.shape[0]
+    cin = feats_fine.shape[-1]
+    cout = w.shape[-1]
+    dout_c = dout.astype(cdt)
+    g = pad_row(feats_fine.astype(cdt))[child_idx].reshape(vc, 8 * cin)
+    dw = jnp.dot(g.T, dout_c, preferred_element_type=jnp.float32)
+    dw = dw.reshape(8, cin, cout).astype(w.dtype)
+    # dX[c] = dout[parent(c)] @ W[k_c]^T == up-conv with W transposed.
+    w_t = w.transpose(0, 2, 1)                                 # [8, Cout, Cin]
+    dx = _up2_impl(dout_c, w_t, parent_idx, child_kidx,
+                   cdt).astype(feats_fine.dtype)
+    return dx, dw, _float0(child_idx), _float0(parent_idx), _float0(child_kidx)
+
+
+_down2.defvjp(_down2_fwd, _down2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _up2(feats_coarse, w, parent_idx, child_kidx, child_idx, cdt):
+    return _up2_impl(feats_coarse, w, parent_idx, child_kidx, cdt)
+
+
+def _up2_fwd(feats_coarse, w, parent_idx, child_kidx, child_idx, cdt):
+    return (_up2_impl(feats_coarse, w, parent_idx, child_kidx, cdt),
+            (feats_coarse, w, parent_idx, child_kidx, child_idx))
+
+
+def _up2_bwd(cdt, res, dout):
+    feats_coarse, w, parent_idx, child_kidx, child_idx = res
+    vc, cin = feats_coarse.shape
+    cout = w.shape[-1]
+    dout_c = dout.astype(cdt)
+    gd = pad_row(dout_c)[child_idx].reshape(vc, 8 * cout)      # [Vc, 8*Cout]
+    # dX[p] = sum_k dout[child_idx[p, k]] @ W[k]^T.
+    w_t = w.astype(cdt).transpose(0, 2, 1).reshape(8 * cout, cin)
+    dx = jnp.dot(gd, w_t,
+                 preferred_element_type=jnp.float32).astype(feats_coarse.dtype)
+    # dW[k] = X^T @ (dout gathered at slot k).
+    dw = jnp.dot(feats_coarse.astype(cdt).T, gd,
+                 preferred_element_type=jnp.float32)           # [Cin, 8*Cout]
+    dw = dw.reshape(cin, 8, cout).transpose(1, 0, 2).astype(w.dtype)
+    return dx, dw, _float0(parent_idx), _float0(child_kidx), _float0(child_idx)
+
+
+_up2.defvjp(_up2_fwd, _up2_bwd)
+
+
+def down_conv2(feats_fine, w, child_idx, parent_idx=None, child_kidx=None,
+               compute_dtype=jnp.bfloat16):
     """ks=2 stride=2 sparse conv (downsample).
 
     Args:
       feats_fine: [Vf, Cin] at level l.
       w: [8, Cin, Cout].
       child_idx: [Vc, 8] int32 from Level(l+1).child_idx (sentinel Vf).
+      parent_idx/child_kidx: level-l maps; when provided, the scatter-free
+        custom VJP is used (omit only for inference-only call sites).
     Returns:
       [Vc, Cout] float32 at level l+1.
     """
-    vc = child_idx.shape[0]
-    cin = feats_fine.shape[-1]
-    cout = w.shape[-1]
-    fe = pad_row(feats_fine.astype(compute_dtype))
-    g = fe[child_idx].reshape(vc, 8 * cin)
-    wk = w.astype(compute_dtype).reshape(8 * cin, cout)
-    return jnp.dot(g, wk, preferred_element_type=jnp.float32)
+    if parent_idx is None or child_kidx is None:
+        return _down2_impl(feats_fine, w, child_idx, compute_dtype)
+    return _down2(feats_fine, w, child_idx, parent_idx, child_kidx,
+                  compute_dtype)
 
 
-def up_conv2(feats_coarse, w, parent_idx, child_kidx, compute_dtype=jnp.bfloat16):
+def up_conv2(feats_coarse, w, parent_idx, child_kidx, child_idx=None,
+             compute_dtype=jnp.bfloat16):
     """ks=2 stride=2 transposed sparse conv (upsample).
 
     Output coords are the (precomputed) fine-level coord set, exactly like
@@ -86,17 +222,15 @@ def up_conv2(feats_coarse, w, parent_idx, child_kidx, compute_dtype=jnp.bfloat16
       w: [8, Cin, Cout].
       parent_idx: [Vf] int32 into level l+1 (sentinel Vc).
       child_kidx: [Vf] int32 in [0, 8).
+      child_idx: [Vc, 8] map for the scatter-free custom VJP (optional).
     Returns:
       [Vf, Cout] float32 at level l.
     """
-    vc, cin = feats_coarse.shape
-    cout = w.shape[-1]
-    fc = feats_coarse.astype(compute_dtype)
-    wk = w.astype(compute_dtype).transpose(1, 0, 2).reshape(cin, 8 * cout)
-    y = jnp.dot(fc, wk, preferred_element_type=jnp.float32)   # [Vc, 8*Cout]
-    y = y.reshape(vc, 8, cout)
-    y = pad_row(y)                                            # [Vc+1, 8, Cout]
-    return y[parent_idx, child_kidx]
+    if child_idx is None:
+        return _up2_impl(feats_coarse, w, parent_idx, child_kidx,
+                         compute_dtype)
+    return _up2(feats_coarse, w, parent_idx, child_kidx, child_idx,
+                compute_dtype)
 
 
 def conv1x1(feats, w, compute_dtype=jnp.bfloat16):
