@@ -19,6 +19,19 @@ from fusiontransformer_tpu.modules.steps import _device_batch
 
 
 def map_sparse_to_org(x, inverse_map):
+    """Devoxelize per-voxel values back to original points.
+
+    Voxels beyond ``len(x)`` were dropped by the static point capacity (the
+    collate keeps the first ``cap`` unique voxels and counts the rest in
+    ``num_dropped``); their points get class 0 — the reference ignore id —
+    so undersized capacities show up as honest errors in the IoU table
+    instead of a crash.  Production capacities are sized so this is empty.
+    """
+    oob = inverse_map >= len(x)
+    if oob.any():
+        out = x[np.where(oob, 0, inverse_map)]
+        out[oob] = 0
+        return out
     return x[inverse_map]
 
 

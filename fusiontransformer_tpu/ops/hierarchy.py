@@ -11,18 +11,27 @@ with jitted integer ops:
   ``sparse_quantize``, reference ``semantic_kitti_dataloader.py:231``, so
   points are 1:1 with level-0 voxels and torchsparse's ``initial_voxelize``
   with pres=vres=1, reference ``models/utils.py:15-35``, is an identity here);
-* level l+1 coords = unique(coords_l >> 1): one key sort + adjacent-compare
-  cumsum (floor-division does NOT preserve lexicographic tuple order, so each
-  level re-sorts its parent keys);
-* ks=3 stride=1 kernel maps (``nbr_idx``) via a single sort-join per level
-  (``ops.keys.sorted_join`` — one lax.sort over [table ++ 26 offset-shifted
-  query sets] + cummax propagation; TPU's sorter is ~10x faster here than
-  serial binary-search gathers);
+* level l+1 coords = unique(coords_l >> 1): Morton ``key >> 3`` preserves
+  order, so each coarser level is an adjacent-compare cumsum of the previous
+  one — the whole coordinate pyramid costs ONE sort (of the input voxels);
+* the ks=3 stride=1 kernel map (``nbr_idx``) is searched ONLY at the tiny top
+  level (one ``ops.keys.sorted_join``); every finer level's map is then
+  *derived top-down with no search at all*: the neighbor of voxel ``c`` at
+  offset ``d`` lives in parent brick ``(c >> 1) + e`` at octant slot ``t``,
+  where ``e = ((c & 1) + d) >> 1`` and ``t = ((c & 1) + d) & 1`` are static
+  per-(octant, tap) tables — so ``nbr_idx(l)`` is one row-gather of the
+  parent's 27-entry rows, a one-hot MXU select of the right column, and one
+  gather through ``child_idx(l+1)``.  (Measured on v5e: this replaces the
+  2.6M-element per-level sort-joins and cuts hierarchy build ~4x; it is also
+  the reason the whole build compiles with just TWO lax.sort instances.)
 * ks=2 stride=2 down/up maps (``child_idx`` / ``parent_idx`` + ``child_kidx``)
   via the cumsum positions — no search at all;
-* trilinear devoxelize corner maps (8-way sort-join per requested level),
-  replacing ``spf.calc_ti_weights`` + ``spdevoxelize``
-  (reference ``models/utils.py:68-106``).
+* trilinear devoxelize corner maps, replacing ``spf.calc_ti_weights`` +
+  ``spdevoxelize`` (reference ``models/utils.py:68-106``), by the same
+  top-down derivation: a point's corner voxels at the top level are the
+  ``{0,+1}^3`` columns of its containing voxel's neighbor row, and corners at
+  level l are children of corners at level l+1 (per-dim corner index
+  ``r & b`` and slot ``r ^ b`` with ``r = (c >> l) & 1``).
 
 Everything is fixed-capacity: each level has a static ``cap``; overflow voxels
 are dropped (masked) and counted in ``nvalid_raw`` so callers can detect
@@ -39,6 +48,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fusiontransformer_tpu.ops import keys as K
 
@@ -107,27 +117,111 @@ def _nbr_from_26(level: "Level", nbr26):
         [nbr26[:, :center], self_idx, nbr26[:, center:]], axis=1)
 
 
-def _corner_queries(points, batch_idx, pt_valid, lshift: int):
-    """Trilinear corner query keys + weights at a coarser level.
+def _corner_weights(points, lshift: int):
+    """Trilinear corner weights at a coarser level.
 
     Mirrors torchsparse ``calc_ti_weights`` semantics (reference
     ``models/utils.py:81-87``): weights of absent corners are zeroed and NOT
     renormalized (zeroing happens in the caller once indices are known).
     """
-    base = points >> lshift                        # [N, 3] level units
     frac = (points & ((1 << lshift) - 1)).astype(jnp.float32) / float(1 << lshift)
-    q_hi_list, q_lo_list, w_list = [], [], []
+    w_list = []
     for (bx, by, bz) in _KS2_OFFSETS:
-        qc = base + jnp.array([bx, by, bz], jnp.int32)
-        hi, lo = K.pack_keys(batch_idx, qc, pt_valid)
-        q_hi_list.append(hi)
-        q_lo_list.append(lo)
         wx = frac[:, 0] if bx else (1.0 - frac[:, 0])
         wy = frac[:, 1] if by else (1.0 - frac[:, 1])
         wz = frac[:, 2] if bz else (1.0 - frac[:, 2])
         w_list.append(wx * wy * wz)
-    return (jnp.stack(q_hi_list, axis=1), jnp.stack(q_lo_list, axis=1),
-            jnp.stack(w_list, axis=1).astype(jnp.float32))
+    return jnp.stack(w_list, axis=1).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------- #
+# Top-down kernel-map descent (search-free).
+#
+# For voxel c with octant bits s = c & 1 and ks3 tap offset d in {-1,0,1}:
+#   neighbor coord  q = c + d   lives in parent brick  (c >> 1) + e
+#   at octant slot  t,          with   e = (s + d) >> 1,   t = (s + d) & 1
+# per dimension — both static functions of (octant, tap).  Per octant the
+# eight reachable parent bricks are (c >> 1) + (s - 1 + j), j in {0,1}^3, so
+# nbr_idx(l) = one row-gather of the parent's nbr rows, a static column
+# select, one row-gather of child_idx rows, and a static (brick, slot)
+# select.  The selects are done as one-hot float32 matmuls on the MXU
+# (HIGHEST precision => exact for indices < 2**24) because a 27V-element
+# hardware gather measures ~10x slower than the equivalent matmul at SPVCNN
+# shapes (v5e gather: ~360M rows/s).
+#
+# The same recursion gives trilinear corner maps: corners of a point at the
+# top level are the {0,+1}^3 columns of its containing voxel's nbr row, and
+# with r = (c >> l) & 1 the level-l corner b is the child of level-(l+1)
+# corner (r & b) at slot (r ^ b).
+# --------------------------------------------------------------------------- #
+
+def _nbr_descent_tables():
+    """Static per-octant one-hot selects for the nbr descent."""
+    # octant -> one-hot [27, 8]: pick the 8 reachable parent-brick columns.
+    colsel = np.zeros((8, 27, 8), np.float32)
+    # octant -> one-hot [64, 27]: pick (brick j3, slot t3) for each tap.
+    sel64 = np.zeros((8, 64, 27), np.float32)
+    for o in range(8):
+        s = ((o >> 2) & 1, (o >> 1) & 1, o & 1)
+        for j in range(8):
+            jb = ((j >> 2) & 1, (j >> 1) & 1, j & 1)
+            e = [s[i] - 1 + jb[i] for i in range(3)]
+            col = (e[0] + 1) * 9 + (e[1] + 1) * 3 + (e[2] + 1)
+            colsel[o, col, j] = 1.0
+        for k, (dx, dy, dz) in enumerate(_KS3_OFFSETS):
+            j3 = t3 = 0
+            for i, d in enumerate((dx, dy, dz)):
+                e = (s[i] + d) >> 1
+                t = (s[i] + d) & 1
+                j3 = j3 * 2 + (e - (s[i] - 1))     # position in colsel row
+                t3 = t3 * 2 + t
+            sel64[o, j3 * 8 + t3, k] = 1.0
+    return colsel, sel64
+
+
+def _corner_descent_tables():
+    """Static per-(r-combo, corner) tables: (parent corner, child slot)."""
+    sel64 = np.zeros((8, 64, 8), np.float32)   # r -> (e3*8+t3) -> corner b
+    for r in range(8):
+        rb = ((r >> 2) & 1, (r >> 1) & 1, r & 1)
+        for b in range(8):
+            bb = ((b >> 2) & 1, (b >> 1) & 1, b & 1)
+            e3 = t3 = 0
+            for i in range(3):
+                e3 = e3 * 2 + (rb[i] & bb[i])
+                t3 = t3 * 2 + (rb[i] ^ bb[i])
+            sel64[r, e3 * 8 + t3, b] = 1.0
+    return sel64
+
+
+_NBR_COLSEL, _NBR_SEL64 = _nbr_descent_tables()
+_CORNER_SEL64 = _corner_descent_tables()
+# Top-level corners: nbr27 columns for per-dim offsets {0, +1}.
+_CORNER_TOP_COLS = np.array(
+    [(bx + 1) * 9 + (by + 1) * 3 + (bz + 1)
+     for (bx, by, bz) in _KS2_OFFSETS], np.int64)
+
+
+def _onehot_select(rows, sel_mats, which):
+    """out[v, j] = sum_k rows[v, k] * sel_mats[which[v], k, j].
+
+    ``sel_mats`` are static one-hot float32 matrices, so this is an exact
+    integer select for values < 2**24, done as 8 MXU matmuls + a blend
+    instead of a (slow) element gather.
+    """
+    rf = rows.astype(jnp.float32)
+    out = None
+    for o in range(sel_mats.shape[0]):
+        s = jax.lax.dot(rf, jnp.asarray(sel_mats[o]),
+                        precision=jax.lax.Precision.HIGHEST)
+        out = s if out is None else jnp.where((which == o)[:, None], s, out)
+    return out.astype(jnp.int32)
+
+
+def _pad_rows(arr, fill):
+    """Append one row filled with ``fill`` (sentinel target for gathers)."""
+    pad = jnp.full((1,) + arr.shape[1:], fill, arr.dtype)
+    return jnp.concatenate([arr, pad], axis=0)
 
 
 def build_hierarchy(coords, batch_idx, valid,
@@ -213,13 +307,40 @@ def build_hierarchy(coords, batch_idx, valid,
             parent_idx=None, child_kidx=None,
         ))
 
-    # ----- kernel maps: ONE sort-join per level ---------------------------
-    # The 26 ks3 neighbor queries and (where needed) the 8 trilinear corner
-    # queries of all points share a single join, so each level costs exactly
-    # one lax.sort — 6 sorts total for a 5-level hierarchy (input sort + 5
-    # joins), which also keeps XLA compile time bounded (each sort instance
-    # compiles separately).
+    # ----- kernel maps: ONE small join at the top + search-free descent ---
+    # Only the coarsest (smallest) level is searched with a sort-join; every
+    # finer level's ks3 map and every corner map is derived by the static
+    # parent-brick recursion (see module docstring).  The whole build
+    # therefore contains exactly TWO lax.sort instances (input sort + top
+    # join), which bounds both runtime and XLA compile time.
+    T = num_levels - 1
+    top = levels[T]
+    nq_hi, nq_lo = _nbr_queries(top, 1 << (full_scale_log2 - T))
+    nbr26 = K.sorted_join(top.key_hi, top.key_lo, nq_hi, nq_lo)
+    nbr_by_level = [None] * num_levels
+    nbr_by_level[T] = _nbr_from_26(top, nbr26)
+
+    for l in range(T - 1, -1, -1):
+        cap = level_caps[l]
+        cap_next = level_caps[l + 1]
+        p_idx, c_kidx = parent_links[l]
+        pnbr = _pad_rows(nbr_by_level[l + 1], cap_next)[p_idx]    # [V, 27]
+        brick8 = _onehot_select(pnbr, _NBR_COLSEL, c_kidx)        # [V, 8]
+        child2d = _pad_rows(levels[l + 1].child_idx, cap)
+        childs = child2d[brick8]                                  # [V, 8, 8]
+        nbr_by_level[l] = _onehot_select(
+            childs.reshape(-1, 64), _NBR_SEL64, c_kidx)
+
     out_levels = []
+    for l in range(num_levels):
+        if l < num_levels - 1:
+            p_idx, c_kidx = parent_links[l]
+        else:
+            p_idx, c_kidx = None, None
+        out_levels.append(levels[l]._replace(
+            nbr_idx=nbr_by_level[l], parent_idx=p_idx, child_kidx=c_kidx))
+
+    # ----- point->voxel containment + trilinear corner maps ----------------
     pt_corner_idx = [None] * num_levels
     pt_corner_w = [None] * num_levels
     pt_voxel_idx = [None] * num_levels
@@ -228,32 +349,34 @@ def build_hierarchy(coords, batch_idx, valid,
         # degenerates to an identity gather (weight-1 corner 0).
         pt_voxel_idx[0] = pt_sorted_pos
 
-    for l in range(num_levels):
-        lvl = levels[l]
-        if l < num_levels - 1:
-            p_idx, c_kidx = parent_links[l]
-        else:
-            p_idx, c_kidx = None, None
-
-        cap = level_caps[l]
-        nq_hi, nq_lo = _nbr_queries(lvl, 1 << (full_scale_log2 - l))
-        if l in point_levels and l != 0:
-            cq_hi, cq_lo, w8 = _corner_queries(coords, batch_idx, valid, l)
-            q_hi = jnp.concatenate([nq_hi.reshape(-1), cq_hi.reshape(-1)])
-            q_lo = jnp.concatenate([nq_lo.reshape(-1), cq_lo.reshape(-1)])
-            res = K.sorted_join(lvl.key_hi, lvl.key_lo, q_hi, q_lo)
-            nbr26 = res[:cap * 26].reshape(cap, 26)
-            idx8 = res[cap * 26:].reshape(-1, 8)
+    need_pt = sorted(l for l in point_levels if l > 0)
+    if need_pt:
+        lmin = need_pt[0]
+        # Ancestor chain: the point's containing voxel at every level.
+        anc = pt_sorted_pos
+        for l in range(0, T):
+            p_idx, _ = parent_links[l]
+            anc = jnp.concatenate(
+                [p_idx, jnp.full((1,), level_caps[l + 1], jnp.int32)])[anc]
+        # Top-level corners = the {0,+1}^3 columns of the ancestor's nbr row.
+        cn = _pad_rows(nbr_by_level[T], level_caps[T])[anc]       # [N, 27]
+        corner = jnp.stack([cn[:, int(c)] for c in _CORNER_TOP_COLS], axis=1)
+        corner_by_level = {T: corner}
+        for l in range(T - 1, lmin - 1, -1):
+            child2d = _pad_rows(levels[l + 1].child_idx, level_caps[l])
+            childs = child2d[corner_by_level[l + 1]]              # [N, 8, 8]
+            r = (coords >> l) & 1
+            rcombo = r[:, 0] * 4 + r[:, 1] * 2 + r[:, 2]
+            corner_by_level[l] = _onehot_select(
+                childs.reshape(-1, 64), _CORNER_SEL64, rcombo)
+        for l in need_pt:
+            cap = level_caps[l]
+            idx8 = jnp.where(valid[:, None], corner_by_level[l], cap)
+            w8 = _corner_weights(coords, l)
             w8 = jnp.where(idx8 == cap, 0.0, w8)
             pt_corner_idx[l] = idx8
             pt_corner_w[l] = w8
             pt_voxel_idx[l] = jnp.where(valid, idx8[:, 0], cap)
-        else:
-            nbr26 = K.sorted_join(lvl.key_hi, lvl.key_lo, nq_hi, nq_lo)
-
-        nbr = _nbr_from_26(lvl, nbr26)
-        out_levels.append(lvl._replace(nbr_idx=nbr, parent_idx=p_idx,
-                                       child_kidx=c_kidx))
 
     return Hierarchy(
         levels=tuple(out_levels),

@@ -68,3 +68,24 @@ def test_oracle_predictions_give_perfect_iou(tmp_path):
                       val_metric_logger=ml2)
     (_, ev2), = [e for e in evals2 if e[0] == "3D"]
     assert ev2.overall_acc < 0.05
+
+
+def test_map_sparse_to_org_truncated_scan():
+    """Capacity-dropped voxels devoxelize to class 0 (ignore) — not a crash.
+
+    Covers the static-capacity edge the reference cannot hit (its shapes are
+    dynamic): a scan with more unique voxels than POINT_CAPACITY keeps its
+    first `cap` voxels; original points of dropped voxels must come back as
+    the ignore id so they count as errors in the IoU table.
+    """
+    import numpy as np
+
+    from fusiontransformer_tpu.data.utils.validate import map_sparse_to_org
+
+    preds = np.array([5, 6, 7], np.int32)          # 3 kept voxels
+    inverse_map = np.array([0, 1, 2, 2, 3, 4], np.int64)  # 5 uniques, 2 dropped
+    out = map_sparse_to_org(preds, inverse_map)
+    np.testing.assert_array_equal(out, [5, 6, 7, 7, 0, 0])
+    # No-drop fast path unchanged.
+    out = map_sparse_to_org(preds, np.array([2, 0, 1, 1], np.int64))
+    np.testing.assert_array_equal(out, [7, 5, 6, 6])

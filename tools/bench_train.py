@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Training-step throughput bench (fwd+bwd+optimizer) for the flagship model.
+
+Companion to ../bench.py (which measures inference — the driver-facing
+metric); this measures the full jitted train step at the same shapes so
+optimization work can be tracked on both paths.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BATCH = 4
+POINTS = 18_000
+CAPACITY = 20_480
+NUM_CLASSES = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.data.collate import collate_padded
+    from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+    from fusiontransformer_tpu.models.build import build_model
+    from fusiontransformer_tpu.modules.steps import (TrainState,
+                                                     level_caps_from_cfg,
+                                                     make_train_step)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.TYPE = "MiddleFusionTransformer"
+    cfg.MODEL.USE_FUSION = True
+    cfg.MODEL.USE_LIDAR = True
+    cfg.MODEL.USE_IMAGE = True
+    cfg.MODEL.DUAL_HEAD = True
+    cfg.MODEL.middle_feat_block_number = 5
+    cfg.MODEL.late_feat_block_number = 11
+    cfg.TRAIN.FusionTransformer.lambda_xm = 0.1
+    cfg.TPU.POINT_CAPACITY = CAPACITY
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.8, 0.7, 0.6, 0.5)
+
+    ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
+    batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
+                           370, 1226)
+    batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
+                                   "pt_valid", "img", "img_indices")}
+    batch = jax.device_put(batch)
+
+    model = build_model(cfg)[0]
+    caps = level_caps_from_cfg(cfg, BATCH)
+    tx = optax.adam(1e-4)
+
+    from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+    @jax.jit
+    def _init(batch):
+        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                               batch["pt_valid"], caps)
+        return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
+
+    t0 = time.time()
+    variables = jax.block_until_ready(_init(batch))
+    print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
+    params = variables["params"]
+    state = TrainState(params, variables.get("batch_stats", {}),
+                       tx.init(params), jnp.zeros((), jnp.int32))
+
+    step, _ = make_train_step(cfg, model, tx, BATCH)
+    step = jax.jit(step, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    state, metrics = step(state, batch, rng)
+    np.asarray(metrics["total_loss"])  # force completion (axon quirk)
+    print(f"compile+first step {time.time()-t0:.1f}s", file=sys.stderr)
+    assert int(np.asarray(metrics["voxel_overflow"])) == 0
+
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+    np.asarray(metrics["total_loss"])
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        state, metrics = step(state, batch, rng)
+    np.asarray(metrics["total_loss"])
+    dt = (time.time() - t0) / n
+    print(f"train step: {dt*1e3:.1f} ms/step  "
+          f"{BATCH/dt:.2f} scans/s (batch {BATCH})")
+
+
+if __name__ == "__main__":
+    main()
