@@ -46,19 +46,27 @@ def _float0(x):
 # --------------------------------------------------------------------------- #
 # ks=3 stride=1
 #
+# Layout: gathers are TAP-MAJOR ([27, V, C], indices nbr_idx.T) and the GEMM
+# is a batched einsum over the tap axis.  The voxel-major [V, 27*C] fat-GEMM
+# formulation forces XLA to relayout the gather output (minor dims swap from
+# (tap, chan) to a flattened 27*C axis) — measured ~35% slower end to end on
+# v5e (tools/microbench_conv.py; the relayout showed up as ~174 ms/step of
+# "data formatting" in the train profile).
+#
 # Custom VJP: the 27-offset set is mirror-symmetric (offsets[26-k] ==
 # -offsets[k]), so the adjoint of "gather neighbors" is itself a neighbor
 # gather through the column-reversed kernel map — the backward pass needs NO
 # scatter (XLA's autodiff scatter-adds are ~8x slower than gathers on TPU for
-# these shapes; tracing showed them as ~half the train-step time).
+# these shapes).  The same symmetry makes the scattered dout that dW needs,
+# sum_{v: nbr(v,d)=u} dout[v], equal to dout[nbr(u, 26-d)] — which the
+# mirrored gd gather already holds — so the backward pass needs exactly ONE
+# gather (no feats re-gather; measured ~1.8x faster at stem shapes).
 # --------------------------------------------------------------------------- #
 
 def _subm3_impl(feats, w, nbr_idx, cdt):
-    V, cin = feats.shape
-    cout = w.shape[-1]
-    g = pad_row(feats.astype(cdt))[nbr_idx].reshape(V, 27 * cin)
-    wk = w.astype(cdt).reshape(27 * cin, cout)
-    return jnp.dot(g, wk, preferred_element_type=jnp.float32)
+    g = pad_row(feats.astype(cdt))[nbr_idx.T]          # [27, V, Cin]
+    return jnp.einsum("kvc,kco->vo", g, w.astype(cdt),
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -72,19 +80,14 @@ def _subm3_fwd(feats, w, nbr_idx, cdt):
 
 def _subm3_bwd(cdt, res, dout):
     feats, w, nbr_idx = res
-    V, cin = feats.shape
-    cout = w.shape[-1]
-    dout_c = dout.astype(cdt)
-    # dW = gathered(feats)^T @ dout (gather recomputed: cheaper than saving
-    # the [V, 27, Cin] activation for the backward pass).
-    g = pad_row(feats.astype(cdt))[nbr_idx].reshape(V, 27 * cin)
-    dw = jnp.dot(g.T, dout_c, preferred_element_type=jnp.float32)
-    dw = dw.reshape(27, cin, cout).astype(w.dtype)
-    # dfeats[u] = sum_j dout[nbr[u, j]] @ W[26-j]^T  (mirror symmetry).
-    gd = pad_row(dout_c)[nbr_idx].reshape(V, 27 * cout)
-    w_rev = w.astype(cdt)[::-1].transpose(0, 2, 1).reshape(27 * cout, cin)
-    dfeats = jnp.dot(gd, w_rev,
-                     preferred_element_type=jnp.float32).astype(feats.dtype)
+    # gd[k, u] = dout[nbr(u, 26-k)] (zero where missing).
+    gd = pad_row(dout.astype(cdt))[nbr_idx.T][::-1]    # [27, V, Cout]
+    # dfeats[u] = sum_k dout[nbr(u, 26-k)] @ W[k]^T.
+    dfeats = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt),
+                        preferred_element_type=jnp.float32).astype(feats.dtype)
+    # dW[k] = feats^T @ scattered(dout at offset k) = feats^T @ gd[k].
+    dw = jnp.einsum("vc,kvo->kco", feats.astype(cdt), gd,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
     return dfeats, dw, _float0(nbr_idx)
 
 
@@ -109,26 +112,32 @@ def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16):
 #
 # The two ops are exact adjoints of each other through (child_idx,
 # parent_idx, child_kidx), so each one's backward is the other's forward
-# pattern — again scatter-free.
+# pattern — again scatter-free.  As with ks=3, gathers are tap-major and the
+# GEMMs are batched einsums over the tap axis.  The (parent, slot) side is
+# expressed as a narrow parent-row gather + a one-hot slot mask fused into
+# the GEMM operand (``_slot8``), which both avoids gathering 8x-wide rows
+# and lets dX and dW share a single gather in the backward pass.
 # --------------------------------------------------------------------------- #
 
+def _slot8(rows, kidx):
+    """rows: [V, C], kidx: [V] in [0,8) -> [V, 8, C] with rows[v] at slot
+    kidx[v], zeros elsewhere (fused by XLA into the consuming einsum)."""
+    sel = (kidx[:, None] == jnp.arange(8, dtype=kidx.dtype)[None, :])
+    return rows[:, None, :] * sel[:, :, None].astype(rows.dtype)
+
+
 def _down2_impl(feats_fine, w, child_idx, cdt):
-    vc = child_idx.shape[0]
-    cin = feats_fine.shape[-1]
-    cout = w.shape[-1]
-    g = pad_row(feats_fine.astype(cdt))[child_idx].reshape(vc, 8 * cin)
-    wk = w.astype(cdt).reshape(8 * cin, cout)
-    return jnp.dot(g, wk, preferred_element_type=jnp.float32)
+    g = pad_row(feats_fine.astype(cdt))[child_idx.T]       # [8, Vc, Cin]
+    return jnp.einsum("kvc,kco->vo", g, w.astype(cdt),
+                      preferred_element_type=jnp.float32)
 
 
 def _up2_impl(feats_coarse, w, parent_idx, child_kidx, cdt):
-    vc, cin = feats_coarse.shape
-    cout = w.shape[-1]
-    fc = feats_coarse.astype(cdt)
-    wk = w.astype(cdt).transpose(1, 0, 2).reshape(cin, 8 * cout)
-    y = jnp.dot(fc, wk, preferred_element_type=jnp.float32)   # [Vc, 8*Cout]
-    y = pad_row(y.reshape(vc, 8, cout))                       # [Vc+1, 8, Cout]
-    return y[parent_idx, child_kidx]
+    # out[v] = fc[parent(v)] @ W[kidx(v)]: narrow parent gather + slot mask.
+    fp = pad_row(feats_coarse.astype(cdt))[parent_idx]     # [Vf, Cin]
+    fp8 = _slot8(fp, child_kidx)                           # [Vf, 8, Cin]
+    return jnp.einsum("vkc,kco->vo", fp8, w.astype(cdt),
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -143,17 +152,15 @@ def _down2_fwd(feats_fine, w, child_idx, parent_idx, child_kidx, cdt):
 
 def _down2_bwd(cdt, res, dout):
     feats_fine, w, child_idx, parent_idx, child_kidx = res
-    vc = child_idx.shape[0]
-    cin = feats_fine.shape[-1]
-    cout = w.shape[-1]
-    dout_c = dout.astype(cdt)
-    g = pad_row(feats_fine.astype(cdt))[child_idx].reshape(vc, 8 * cin)
-    dw = jnp.dot(g.T, dout_c, preferred_element_type=jnp.float32)
-    dw = dw.reshape(8, cin, cout).astype(w.dtype)
-    # dX[c] = dout[parent(c)] @ W[k_c]^T == up-conv with W transposed.
-    w_t = w.transpose(0, 2, 1)                                 # [8, Cout, Cin]
-    dx = _up2_impl(dout_c, w_t, parent_idx, child_kidx,
-                   cdt).astype(feats_fine.dtype)
+    # Shared gather: p8[u, k] = dout[parent(u)] at slot k_u, zeros elsewhere.
+    p = pad_row(dout.astype(cdt))[parent_idx]              # [Vf, Cout]
+    p8 = _slot8(p, child_kidx)                             # [Vf, 8, Cout]
+    # dX[u] = dout[parent(u)] @ W[k_u]^T.
+    dx = jnp.einsum("vko,kco->vc", p8, w.astype(cdt),
+                    preferred_element_type=jnp.float32).astype(feats_fine.dtype)
+    # dW[k] = sum_u feats[u] (x) p8[u, k].
+    dw = jnp.einsum("vc,vko->kco", feats_fine.astype(cdt), p8,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
     return dx, dw, _float0(child_idx), _float0(parent_idx), _float0(child_kidx)
 
 
@@ -172,18 +179,14 @@ def _up2_fwd(feats_coarse, w, parent_idx, child_kidx, child_idx, cdt):
 
 def _up2_bwd(cdt, res, dout):
     feats_coarse, w, parent_idx, child_kidx, child_idx = res
-    vc, cin = feats_coarse.shape
-    cout = w.shape[-1]
-    dout_c = dout.astype(cdt)
-    gd = pad_row(dout_c)[child_idx].reshape(vc, 8 * cout)      # [Vc, 8*Cout]
+    gd = pad_row(dout.astype(cdt))[child_idx.T]            # [8, Vc, Cout]
     # dX[p] = sum_k dout[child_idx[p, k]] @ W[k]^T.
-    w_t = w.astype(cdt).transpose(0, 2, 1).reshape(8 * cout, cin)
-    dx = jnp.dot(gd, w_t,
-                 preferred_element_type=jnp.float32).astype(feats_coarse.dtype)
+    dx = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt),
+                    preferred_element_type=jnp.float32).astype(
+        feats_coarse.dtype)
     # dW[k] = X^T @ (dout gathered at slot k).
-    dw = jnp.dot(feats_coarse.astype(cdt).T, gd,
-                 preferred_element_type=jnp.float32)           # [Cin, 8*Cout]
-    dw = dw.reshape(cin, 8, cout).transpose(1, 0, 2).astype(w.dtype)
+    dw = jnp.einsum("vc,kvo->kco", feats_coarse.astype(cdt), gd,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
     return dx, dw, _float0(parent_idx), _float0(child_kidx), _float0(child_idx)
 
 
@@ -268,8 +271,9 @@ def devoxelize_trilinear(vox_feats, corner_idx, corner_w):
       [N, C] float32.
     """
     fe = pad_row(vox_feats)
-    g = fe[corner_idx]                                # [N, 8, C]
-    return jnp.sum(g * corner_w[:, :, None].astype(g.dtype), axis=1)
+    g = fe[corner_idx.T]                              # [8, N, C] tap-major
+    return jnp.einsum("nk,knc->nc", corner_w.astype(g.dtype), g,
+                      preferred_element_type=jnp.float32).astype(g.dtype)
 
 
 def gather_rows(feats, idx):

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the flagship train + inference steps.
+
+Writes a TensorBoard profile under ``/tmp/ftx_profile`` and prints an
+op-level time breakdown parsed from the trace (no TensorBoard needed).
+
+Usage: python tools/profile_step.py [train|infer] [outdir]
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BATCH = 4
+POINTS = 18_000
+CAPACITY = 20_480
+NUM_CLASSES = 20
+
+
+def build(mode):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.data.collate import collate_padded
+    from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+    from fusiontransformer_tpu.models.build import build_model
+    from fusiontransformer_tpu.modules.steps import (TrainState,
+                                                     level_caps_from_cfg,
+                                                     make_eval_step,
+                                                     make_train_step)
+    from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+    cfg = get_default_cfg()
+    cfg.MODEL.TYPE = "MiddleFusionTransformer"
+    cfg.MODEL.USE_FUSION = True
+    cfg.MODEL.USE_LIDAR = True
+    cfg.MODEL.USE_IMAGE = True
+    cfg.MODEL.DUAL_HEAD = True
+    cfg.MODEL.middle_feat_block_number = 5
+    cfg.MODEL.late_feat_block_number = 11
+    cfg.TRAIN.FusionTransformer.lambda_xm = 0.1
+    cfg.TPU.POINT_CAPACITY = CAPACITY
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.8, 0.7, 0.6, 0.5)
+
+    ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
+    batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
+                           370, 1226)
+    batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
+                                   "pt_valid", "img", "img_indices")}
+    batch = jax.device_put(batch)
+
+    model = build_model(cfg)[0]
+    caps = level_caps_from_cfg(cfg, BATCH)
+    tx = optax.adam(1e-4)
+
+    @jax.jit
+    def _init(batch):
+        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                               batch["pt_valid"], caps)
+        return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
+
+    variables = jax.block_until_ready(_init(batch))
+    params = variables["params"]
+    state = TrainState(params, variables.get("batch_stats", {}),
+                       tx.init(params), jnp.zeros((), jnp.int32))
+
+    if mode == "train":
+        step, _ = make_train_step(cfg, model, tx, BATCH)
+        step = jax.jit(step)
+        rng = jax.random.PRNGKey(1)
+
+        def run():
+            nonlocal state
+            st, metrics = step(state, batch, rng)
+            np.asarray(metrics["total_loss"])
+    else:
+        estep, _ = make_eval_step(cfg, model, BATCH)
+        estep = jax.jit(estep)
+
+        def run():
+            out = estep(state, batch)
+            np.asarray(out["pred_ensemble"][:1])
+    return run
+
+
+def summarize(outdir):
+    files = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print("no trace files found under", outdir)
+        return
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Device-side complete events: group by name prefix (fusion name).
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    totals = defaultdict(float)
+    counts = defaultdict(int)
+    device_total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "Device" not in pname:
+            continue
+        # skip top-level module spans (they contain the op spans)
+        name = e.get("name", "")
+        dur = e.get("dur", 0) / 1e3  # ms
+        if name.startswith("jit_") or "XLA Modules" in pname:
+            continue
+        totals[name] += dur
+        counts[name] += 1
+        device_total += dur
+    print(f"\ntrace: {path}")
+    print(f"device op time total: {device_total:.2f} ms (over capture)\n")
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:45]
+    for name, ms in top:
+        print(f"{ms:9.3f} ms  x{counts[name]:<4d} {name[:110]}")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "train"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ftx_profile_" + mode
+    run = build(mode)
+    import jax
+    run()  # compile
+    run()
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            run()
+    summarize(outdir)
+
+
+if __name__ == "__main__":
+    main()
