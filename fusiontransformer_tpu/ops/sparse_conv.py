@@ -80,14 +80,17 @@ def _subm3_fwd(feats, w, nbr_idx, cdt):
 
 def _subm3_bwd(cdt, res, dout):
     feats, w, nbr_idx = res
-    # gd[k, u] = dout[nbr(u, 26-k)] (zero where missing).
-    gd = pad_row(dout.astype(cdt))[nbr_idx.T][::-1]    # [27, V, Cout]
-    # dfeats[u] = sum_k dout[nbr(u, 26-k)] @ W[k]^T.
-    dfeats = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt),
+    # gd[k, u] = dout[nbr(u, k)] (zero where missing).  The mirror reversal
+    # is applied to the TINY tensors (w rows / dw output), never to gd —
+    # reversing the [27, V, Cout] gather output materializes a full copy
+    # (~50 ms/step of reverse+copy in the train profile).
+    gd = pad_row(dout.astype(cdt))[nbr_idx.T]          # [27, V, Cout]
+    # dfeats[u] = sum_k dout[nbr(u, k)] @ W[26-k]^T.
+    dfeats = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt)[::-1],
                         preferred_element_type=jnp.float32).astype(feats.dtype)
-    # dW[k] = feats^T @ scattered(dout at offset k) = feats^T @ gd[k].
+    # dW[26-k] = feats^T @ scattered(dout at offset 26-k) = feats^T @ gd[k].
     dw = jnp.einsum("vc,kvo->kco", feats.astype(cdt), gd,
-                    preferred_element_type=jnp.float32).astype(w.dtype)
+                    preferred_element_type=jnp.float32)[::-1].astype(w.dtype)
     return dfeats, dw, _float0(nbr_idx)
 
 

@@ -131,6 +131,112 @@ def convert_resnet34_encoder(sd):
     return _as_f32(params), _as_f32(stats)
 
 
+# --------------------------------------------------------------------------- #
+# SPVCNN (torchsparse) -> flax
+#
+# torchsparse v1.1.0 enumerates kernel offsets x-FASTEST (KernelRegion builds
+# x_offset = single_offset * k**2, z_offset = repeat(single, k**2) — so its
+# tap index is k_ts = (dz+1)*9 + (dy+1)*3 + (dx+1) for ks=3 and
+# k_ts = bz*4 + by*2 + bx for ks=2), while ops.hierarchy enumerates x-SLOWEST
+# (k = (dx+1)*9 + (dy+1)*3 + (dz+1), Morton-compatible).  The permutations
+# below are the single place encoding that axis swap.
+# --------------------------------------------------------------------------- #
+
+# KS3_PERM[k_ours] = k_torchsparse
+KS3_PERM = np.array(
+    [(dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+     for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)], np.int64)
+# KS2_PERM[k_ours] = k_torchsparse
+KS2_PERM = np.array(
+    [bz * 4 + by * 2 + bx
+     for bx in (0, 1) for by in (0, 1) for bz in (0, 1)], np.int64)
+
+
+def convert_spvcnn(sd, prefix="backbone."):
+    """Map a reference SPVCNN torch state_dict onto our flax SPVCNN tree.
+
+    ``sd`` keys follow the reference module layout (``models/spvcnn.py:82+``):
+    ``stem.{0,3}.kernel``, ``stage{i}.0.net.0.kernel`` (ks2 down),
+    ``stage{i}.{1,2}`` / ``up{j}.1.{0,1}`` ResidualBlocks
+    (``net.{0,3}.kernel`` + optional ``downsample.0.kernel``),
+    ``up{j}.0.net.0.kernel`` (transposed ks2) and
+    ``point_transforms.{n}.{0,1}`` Linear+BN1d — optionally under ``prefix``
+    (the LidarSeg/fusion wrappers nest the backbone as ``backbone.``).
+
+    Returns (params, batch_stats) nested dicts matching
+    ``models.spvcnn.SPVCNN``'s flax naming, tap axes permuted per the
+    KS3/KS2 tables above.
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)} \
+        if prefix else dict(sd)
+    params, stats = {}, {}
+
+    def conv3(key):
+        k = np.asarray(sd[key])                     # [27, Cin, Cout]
+        return {"kernel": k[KS3_PERM]}
+
+    def conv2(key):
+        k = np.asarray(sd[key])                     # [8, Cin, Cout]
+        return {"kernel": k[KS2_PERM]}
+
+    def bn(key):
+        return ({"scale": sd[key + ".weight"], "bias": sd[key + ".bias"]},
+                {"mean": sd[key + ".running_mean"],
+                 "var": sd[key + ".running_var"]})
+
+    def residual(src, dst, has_shortcut):
+        params[dst] = {"SubMConv3_0": conv3(src + ".net.0.kernel"),
+                       "SubMConv3_1": conv3(src + ".net.3.kernel")}
+        stats[dst] = {}
+        params[dst]["MaskedBatchNorm_0"], stats[dst]["MaskedBatchNorm_0"] = \
+            bn(src + ".net.1")
+        params[dst]["MaskedBatchNorm_1"], stats[dst]["MaskedBatchNorm_1"] = \
+            bn(src + ".net.4")
+        if has_shortcut:
+            params[dst]["Conv1x1_0"] = {
+                "kernel": np.asarray(sd[src + ".downsample.0.kernel"])}
+            params[dst]["MaskedBatchNorm_2"], stats[dst]["MaskedBatchNorm_2"] = \
+                bn(src + ".downsample.1")
+
+    params["stem0"] = conv3("stem.0.kernel")
+    params["stem0_bn"], stats["stem0_bn"] = bn("stem.1")
+    params["stem1"] = conv3("stem.3.kernel")
+    params["stem1_bn"], stats["stem1_bn"] = bn("stem.4")
+
+    for i in range(1, 5):
+        params[f"stage{i}_down"] = conv2(f"stage{i}.0.net.0.kernel")
+        params[f"stage{i}_down_bn"], stats[f"stage{i}_down_bn"] = \
+            bn(f"stage{i}.0.net.1")
+        for r in (1, 2):
+            residual(f"stage{i}.{r}", f"stage{i}_res{r}",
+                     has_shortcut=f"stage{i}.{r}.downsample.0.kernel" in sd)
+
+    for j in range(1, 5):
+        params[f"up{j}_deconv"] = conv2(f"up{j}.0.net.0.kernel")
+        params[f"up{j}_deconv_bn"], stats[f"up{j}_deconv_bn"] = \
+            bn(f"up{j}.0.net.1")
+        for r in (1, 2):
+            residual(f"up{j}.1.{r-1}", f"up{j}_res{r}",
+                     has_shortcut=f"up{j}.1.{r-1}.downsample.0.kernel" in sd)
+
+    for n in range(3):
+        src = f"point_transforms.{n}"
+        params[f"point_transform{n}"] = {
+            "TorchLinear_0": {"kernel": np.asarray(sd[src + ".0.weight"]).T,
+                              "bias": sd[src + ".0.bias"]}}
+        (params[f"point_transform{n}"]["MaskedBatchNorm_0"],
+         s) = bn(src + ".1")
+        stats[f"point_transform{n}"] = {"MaskedBatchNorm_0": s}
+
+    return _as_f32(params), _as_f32(stats)
+
+
+def convert_linear_head(sd, key="linear"):
+    """torch nn.Linear head -> flax TorchLinear params."""
+    return _as_f32({"kernel": np.asarray(sd[key + ".weight"]).T,
+                    "bias": sd[key + ".bias"]})
+
+
 def merge_params(target, updates, path=""):
     """Recursively overwrite matching leaves of ``target`` with ``updates``,
     asserting shape agreement; returns the count of replaced leaves."""
