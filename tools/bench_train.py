@@ -17,7 +17,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BATCH = 4
+# Batch sweep on v5e (r1): train 10.8 scans/s @ batch 4, 11.96 @ 8,
+# 11.27 @ 16 — fixed costs (hierarchy sorts, optimizer) amortize up to
+# batch 8, then HBM pressure wins.
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 POINTS = 18_000
 CAPACITY = 20_480
 NUM_CLASSES = 20
