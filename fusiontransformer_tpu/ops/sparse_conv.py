@@ -27,6 +27,7 @@ contribute zeros — this is how masking stays branch-free.  Weights are cast to
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -245,24 +246,149 @@ def conv1x1(feats, w, compute_dtype=jnp.bfloat16):
                    preferred_element_type=jnp.float32)
 
 
-def voxelize_mean(pt_feats, pt_voxel_idx, pt_valid, num_voxels):
+def voxelize_mean(pt_feats, pt_voxel_idx, pt_valid, num_voxels, plan=None):
     """Average-pool point features into their containing voxels.
 
     Matches ``spf.spvoxelize`` + ``spcount`` semantics (mean, reference
     ``models/utils.py:19-27``).  Sentinel indices land in a dropped overflow
-    segment.
+    segment.  With a DevoxPlan the feature sum runs through the Pallas
+    sorted-segment kernel instead of an XLA scatter.
     """
     ids = jnp.where(pt_valid, pt_voxel_idx, num_voxels)
-    sums = jax.ops.segment_sum(
-        pt_feats * pt_valid[:, None].astype(pt_feats.dtype), ids,
-        num_segments=num_voxels + 1)[:num_voxels]
     counts = jax.ops.segment_sum(
         pt_valid.astype(jnp.float32), ids,
         num_segments=num_voxels + 1)[:num_voxels]
-    return sums / jnp.maximum(counts, 1.0)[:, None]
+    inv = 1.0 / jnp.maximum(counts, 1.0)
+    if plan is None:
+        sums = jax.ops.segment_sum(
+            pt_feats * pt_valid[:, None].astype(pt_feats.dtype), ids,
+            num_segments=num_voxels + 1)[:num_voxels]
+        return sums * inv[:, None]
+    return _voxmean_sum(pt_feats, pt_valid, ids, plan.sort_perm,
+                        plan.ids_sorted, num_voxels) * inv[:, None]
 
 
-def devoxelize_trilinear(vox_feats, corner_idx, corner_w):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _voxmean_sum(pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted,
+                 num_voxels):
+    return _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted,
+                             num_voxels)
+
+
+def _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted, num_voxels):
+    from fusiontransformer_tpu.ops.pallas.segment_sum import (
+        sorted_segment_weighted_sum)
+
+    g_s = pad_row(pt_feats.astype(jnp.float32))[sort_perm]
+    w_s = pad_row(pt_valid.astype(jnp.float32)[:, None])[sort_perm]
+    T = sorted_segment_weighted_sum(g_s, w_s, ids_sorted, num_voxels)
+    # Rows past the live range are unwritten garbage; ids are gapless so the
+    # live range is exactly [0, max live id + 1).  Zero the rest (NaN-safe
+    # for the masked BN that consumes this).
+    nvalid = jnp.max(jnp.where(ids_sorted < num_voxels, ids_sorted, -1)) + 1
+    live = jnp.arange(num_voxels, dtype=jnp.int32) < nvalid
+    return jnp.where(live[:, None], T, 0.0)
+
+
+def _voxmean_sum_fwd(pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted,
+                     num_voxels):
+    out = _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted,
+                            num_voxels)
+    return out, (pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted)
+
+
+def _voxmean_sum_bwd(num_voxels, res, dout):
+    pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted = res
+    # Adjoint of the masked segment-sum is a plain gather in original point
+    # order: d pt_feats[n] = valid[n] * dout[vox(n)].
+    dpt = pad_row(dout)[jnp.minimum(ids_orig, num_voxels)]
+    dpt = dpt * pt_valid[:, None].astype(dpt.dtype)
+    return (dpt.astype(pt_feats.dtype), _float0(pt_valid), _float0(ids_orig),
+            _float0(sort_perm), _float0(ids_sorted))
+
+
+_voxmean_sum.defvjp(_voxmean_sum_fwd, _voxmean_sum_bwd)
+
+
+def _devox_impl(vox_feats, corner_idx, corner_w):
+    fe = pad_row(vox_feats)
+    g = fe[corner_idx.T]                              # [8, N, C] tap-major
+    return jnp.einsum("nk,knc->nc", corner_w.astype(g.dtype), g,
+                      preferred_element_type=jnp.float32).astype(g.dtype)
+
+
+class DevoxPlan(NamedTuple):
+    """Index maps for the scatter-free devoxelize adjoint (see
+    ``ops.pallas.segment_sum``): the adjoint scatter
+    ``dvox[corner_idx[n,e]] += w[n,e] dout[n]`` becomes a sorted-segment
+    reduction over the Morton-ordered point stream plus 8 mirror gathers
+    ``dvox[u] = sum_e T[e][nbr(u, -e)]``."""
+
+    sort_perm: jnp.ndarray   # [N] original point index per sorted slot
+    ids_sorted: jnp.ndarray  # [N] level voxel id per sorted slot (sentinel V)
+    nbr_neg: jnp.ndarray     # [V, 8] ks3-map columns at taps -e (sentinel V)
+
+
+# tap index of offset -e for corner e=(bx,by,bz), our x-slowest ks3 order.
+_NEG_CORNER_TAPS = np.array(
+    [(1 - bx) * 9 + (1 - by) * 3 + (1 - bz)
+     for bx in (0, 1) for by in (0, 1) for bz in (0, 1)], np.int32)
+
+
+def devox_plan(hier, level):
+    """Build the DevoxPlan for ``hier.levels[level]`` (a few tiny gathers)."""
+    lvl = hier.levels[level]
+    cap = lvl.valid.shape[0]
+    ids = hier.pt_voxel_idx[level]                   # original point order
+    ids_sorted = jnp.concatenate(
+        [ids, jnp.full((1,), cap, ids.dtype)])[hier.vox0_point_idx]
+    nbr_neg = lvl.nbr_idx[:, _NEG_CORNER_TAPS]
+    return DevoxPlan(hier.vox0_point_idx, ids_sorted, nbr_neg)
+
+
+@jax.custom_vjp
+def _devox3(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg):
+    return _devox_impl(vox_feats, corner_idx, corner_w)
+
+
+def _devox3_fwd(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted,
+                nbr_neg):
+    return (_devox_impl(vox_feats, corner_idx, corner_w),
+            (vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg))
+
+
+def _devox3_bwd(res, dout):
+    from fusiontransformer_tpu.ops.pallas.segment_sum import (
+        sorted_segment_weighted_sum)
+
+    vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg = res
+    V, C = vox_feats.shape
+    dout = dout.astype(jnp.float32)
+    # Per-corner tables over the sorted point stream (Pallas, scatter-free).
+    g_s = pad_row(dout)[sort_perm]
+    w_s = pad_row(corner_w.astype(jnp.float32))[sort_perm]
+    T = sorted_segment_weighted_sum(g_s, w_s, ids_sorted, V)   # [V, 8C]
+    # Mirror gathers: dvox[u] = sum_e T[nbr(u,-e), eC:(e+1)C].  One flat
+    # gather of 8 C-wide rows per voxel; sentinel neighbors masked to zero
+    # (their T rows are unwritten).
+    T2 = T.reshape(V * 8, C)
+    flat = jnp.minimum(nbr_neg, V - 1) * 8 + jnp.arange(8, dtype=jnp.int32)
+    g8 = T2[flat]                                              # [V, 8, C]
+    g8 = jnp.where((nbr_neg < V)[:, :, None], g8, 0.0)
+    dvox = jnp.sum(g8, axis=1).astype(vox_feats.dtype)
+    # d(corner_w) — exact, but dead (corner weights come from int coords)
+    # so XLA removes it from the train step.
+    fe = pad_row(vox_feats)
+    dw = jnp.einsum("knc,nc->nk", fe[corner_idx.T].astype(jnp.float32),
+                    dout).astype(corner_w.dtype)
+    zi = _float0(corner_idx)
+    return (dvox, zi, dw, _float0(res[3]), _float0(res[4]), _float0(res[5]))
+
+
+_devox3.defvjp(_devox3_fwd, _devox3_bwd)
+
+
+def devoxelize_trilinear(vox_feats, corner_idx, corner_w, plan=None):
     """Trilinear voxel->point interpolation (``spdevoxelize`` equivalent).
 
     Args:
@@ -270,13 +396,16 @@ def devoxelize_trilinear(vox_feats, corner_idx, corner_w):
       corner_idx: [N, 8] int32 (sentinel V -> zero contribution).
       corner_w: [N, 8] float32 (already zeroed at missing corners, matching
         ``calc_ti_weights``; no renormalization).
+      plan: optional DevoxPlan; when given, the backward pass runs the
+        scatter-free Pallas sorted-segment kernel (~10x faster than XLA's
+        autodiff scatter on v5e) instead of autodiff.
     Returns:
       [N, C] float32.
     """
-    fe = pad_row(vox_feats)
-    g = fe[corner_idx.T]                              # [8, N, C] tap-major
-    return jnp.einsum("nk,knc->nc", corner_w.astype(g.dtype), g,
-                      preferred_element_type=jnp.float32).astype(g.dtype)
+    if plan is None:
+        return _devox_impl(vox_feats, corner_idx, corner_w)
+    return _devox3(vox_feats, corner_idx, corner_w,
+                   plan.sort_perm, plan.ids_sorted, plan.nbr_neg)
 
 
 def gather_rows(feats, idx):

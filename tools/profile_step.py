@@ -21,7 +21,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
 POINTS = 18_000
 CAPACITY = 20_480
 NUM_CLASSES = 20
@@ -56,7 +56,7 @@ def build(mode):
     cfg.MODEL.late_feat_block_number = 11
     cfg.TRAIN.FusionTransformer.lambda_xm = 0.1
     cfg.TPU.POINT_CAPACITY = CAPACITY
-    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.8, 0.7, 0.6, 0.5)
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
 
     ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
     batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
