@@ -133,6 +133,7 @@ def build_flagship(batch_size):
     # 0.58/0.39/0.21/0.089 of point cap) with >=1.15x headroom; zero
     # overflow is asserted below.  Gathers and GEMMs scale with *capacity*,
     # not occupancy, so tight caps are a direct throughput win.
+    cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
     caps = level_caps_from_cfg(cfg, batch_size)
 

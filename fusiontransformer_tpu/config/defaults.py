@@ -208,8 +208,13 @@ _C.MODEL.late_feat_block_number = None
 # TPU-specific (no reference equivalent)
 # ---------------------------------------------------------------------------- #
 _C.TPU = CN()
-# Per-scan point/voxel capacity (level 0). Batches allocate BATCH_SIZE * cap.
+# Per-scan point buffer capacity. Batches allocate BATCH_SIZE * cap.
 _C.TPU.POINT_CAPACITY = 32768
+# Level-0 voxel capacity as a fraction of the point buffer.  Points are 1:1
+# with L0 voxels (dataloader dedup), so the voxel arrays only need capacity
+# for the *valid* points; the point buffer's padding headroom can be shaved
+# here (invalid points sort to the tail and are sliced off).  1.0 = safe.
+_C.TPU.L0_CAPACITY_FRACTION = 1.0
 # Capacity fraction per downsample level relative to previous level.
 # NOTE: sparse LiDAR returns barely merge under 2x downsampling (the spacing
 # between returns exceeds the voxel size at range), so deep levels need far

@@ -182,8 +182,10 @@ class SemanticTrainer:
                           desc=f"training for epoch {epoch}",
                           total=len(self.train_dataloader), leave=False):
             self._rng, step_rng = jax.random.split(self._rng)
+            dev_batch = _device_batch(batch)
+            self._last_batch, self._last_rng = dev_batch, step_rng
             self.state, metrics = self.train_step_fn(
-                self.state, _device_batch(batch), step_rng)
+                self.state, dev_batch, step_rng)
             host = {k: v for k, v in metrics.items()
                     if not k.startswith("cm_")}
             host = jax.device_get(host)
@@ -259,6 +261,24 @@ class SemanticTrainer:
                     sw.add_histogram("params/" + name,
                                      np.asarray(leaf).ravel(),
                                      global_step=epoch)
+                # Grad histograms via a lazily-compiled grads-only pass on
+                # the epoch's last batch (reference logs p.grad per epoch).
+                if getattr(self, "_last_batch", None) is not None:
+                    if not hasattr(self, "_grads_fn"):
+                        from fusiontransformer_tpu.modules.steps import \
+                            make_grads_fn
+                        self._grads_fn = jax.jit(make_grads_fn(
+                            self.cfg, self.model,
+                            self.cfg.TRAIN.BATCH_SIZE))
+                    grads = self._grads_fn(self.state, self._last_batch,
+                                           self._last_rng)
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(
+                            grads)[0]:
+                        name = "/".join(
+                            str(getattr(p, "key", p)) for p in path)
+                        sw.add_histogram("grads/" + name,
+                                         np.asarray(leaf).ravel(),
+                                         global_step=epoch)
 
     def validate_for_one_epoch(self, epoch):
         if self.val_dataloader is None:

@@ -60,7 +60,11 @@ class TrainState(NamedTuple):
 
 def level_caps_from_cfg(cfg, batch_size: int):
     base = batch_size * cfg.TPU.POINT_CAPACITY
-    caps = [base]
+    # L0 voxels are 1:1 with valid points; the point buffer carries padding
+    # headroom that the voxel arrays don't need (invalid points sort to the
+    # tail, so level 0 is a slice).  L1+ chain off the previous level's cap.
+    caps = [min(base, max(128, int(round(base * cfg.TPU.L0_CAPACITY_FRACTION
+                                         / 128.0)) * 128))]
     for frac in cfg.TPU.LEVEL_CAPACITY_FRACTIONS:
         nxt = max(128, int(round(caps[-1] * frac / 128.0)) * 128)
         caps.append(nxt)
@@ -175,6 +179,34 @@ def make_train_step(cfg, model, tx, batch_size: int,
         return TrainState(params, new_bs, opt_state, state.step + 1), metrics
 
     return step, caps
+
+
+def make_grads_fn(cfg, model, batch_size: int):
+    """Gradients-only pass for TB grad histograms (reference
+    ``TorchpackCallbacks.py:289-301`` logs weight AND grad histograms).
+    Compiled lazily and run once per summary period, so the extra
+    forward/backward does not tax the train loop."""
+    caps = level_caps_from_cfg(cfg, batch_size)
+    class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
+                     if cfg.TRAIN.CLASS_WEIGHTS else None)
+    use_lidar = cfg.MODEL.USE_LIDAR
+
+    def grads(state: TrainState, batch, rng):
+        hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
+                                batch["pt_valid"], caps)
+                if use_lidar else None)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, hier, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            total, _ = _losses(cfg, out, batch, class_weights)
+            return total
+
+        return jax.grad(loss_fn)(state.params)
+
+    return grads
 
 
 def make_eval_step(cfg, model, batch_size: int,

@@ -235,19 +235,27 @@ def build_hierarchy(coords, batch_idx, valid,
         scan (the dataloader guarantees this, matching the reference pipeline).
       batch_idx: [N] int32 scan index.
       valid: [N] bool mask for padding.
-      level_caps: static per-level voxel capacities; level 0 cap must equal N.
+      level_caps: static per-level voxel capacities; level 0 cap may be below
+        N (the padded point buffer) since invalid points sort to the tail.
       point_levels: levels for which point<->voxel transfer maps are built.
     """
     N = coords.shape[0]
     num_levels = len(level_caps)
-    assert level_caps[0] == N, "level-0 capacity must equal the point capacity"
+    cap0 = level_caps[0]
+    assert cap0 <= N, "level-0 capacity cannot exceed the point capacity"
 
     levels = []
     parent_links = []  # (parent_idx, child_kidx) for level l -> l+1
 
     # ----- level 0: sort the input voxels --------------------------------
+    # Invalid points carry INVALID_KEY and sort to the tail, so a level-0
+    # capacity below N (the point buffer is padded ~25-30% above typical
+    # occupancy) is just a slice of the sorted arrays; every conv at L0 then
+    # gathers over cap0 rows instead of N (gathers are row-rate-bound).
     hi, lo = K.pack_keys(batch_idx, coords, valid)
     hi_s, lo_s, perm = K.sort_by_key(hi, lo, jnp.arange(N, dtype=jnp.int32))
+    nvalid_raw0 = jnp.sum((hi_s != K.INVALID_KEY).astype(jnp.int32))
+    hi_s, lo_s, perm = hi_s[:cap0], lo_s[:cap0], perm[:cap0]
     b_s, c_s = K.unpack_keys(hi_s, lo_s)
     valid_s = hi_s != K.INVALID_KEY
     nvalid = jnp.sum(valid_s.astype(jnp.int32))
@@ -255,16 +263,16 @@ def build_hierarchy(coords, batch_idx, valid,
         key_hi=hi_s, key_lo=lo_s,
         coords=jnp.where(valid_s[:, None], c_s, 0),
         batch=jnp.where(valid_s, b_s, 0),
-        valid=valid_s, nvalid=nvalid, nvalid_raw=nvalid,
+        valid=valid_s, nvalid=nvalid, nvalid_raw=nvalid_raw0,
         nbr_idx=None, child_idx=None, parent_idx=None, child_kidx=None,
     )
     levels.append(lvl0)
 
     pt_sorted_pos = (
-        jnp.full((N,), N, jnp.int32)
-        .at[perm].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+        jnp.full((N,), cap0, jnp.int32)
+        .at[perm].set(jnp.arange(cap0, dtype=jnp.int32), mode="drop")
     )
-    pt_sorted_pos = jnp.where(valid, pt_sorted_pos, N)
+    pt_sorted_pos = jnp.where(valid, pt_sorted_pos, cap0)
     vox0_point_idx = jnp.where(valid_s, perm, N).astype(jnp.int32)
 
     # ----- levels 1..L: Morton shift + cumsum-unique (NO re-sort) ----------

@@ -229,3 +229,37 @@ def test_capacity_overflow_is_reported(rng):
     # Overflowed voxels' children must carry the sentinel parent.
     p = np.asarray(h.levels[0].parent_idx)
     assert (p == 16).any()
+
+
+def test_level0_capacity_below_point_buffer(rng):
+    """cap0 < N slices the sorted level-0 arrays without changing results
+    (invalid points sort to the tail)."""
+    coords, batch, valid, feats = _random_scene(rng, n_pts=50)
+    cap = coords.shape[0]
+    nvalid = int(valid.sum())
+    cap0 = ((nvalid + 31) // 32 + 1) * 32      # tight but sufficient
+    assert cap0 < cap
+    full = _JIT_BUILD(jnp.asarray(coords), jnp.asarray(batch),
+                      jnp.asarray(valid), (cap, 128, 128, 128, 128))
+    tight = _JIT_BUILD(jnp.asarray(coords), jnp.asarray(batch),
+                       jnp.asarray(valid), (cap0, 128, 128, 128, 128))
+    assert int(np.asarray(tight.levels[0].nvalid)) == nvalid
+    assert int(np.asarray(tight.levels[0].nvalid_raw)) == nvalid
+    np.testing.assert_array_equal(
+        np.asarray(tight.levels[0].coords)[:nvalid],
+        np.asarray(full.levels[0].coords)[:nvalid])
+    # a subm conv on both hierarchies agrees on the live rows
+    w = jnp.asarray(rng.randn(27, 4, 8).astype(np.float32) * 0.1)
+    xf = sc.gather_rows(jnp.asarray(feats), full.vox0_point_idx)
+    xt = sc.gather_rows(jnp.asarray(feats), tight.vox0_point_idx)
+    of = sc.subm_conv3(xf, w, full.levels[0].nbr_idx,
+                       compute_dtype=jnp.float32)
+    ot = sc.subm_conv3(xt, w, tight.levels[0].nbr_idx,
+                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ot)[:nvalid],
+                               np.asarray(of)[:nvalid], atol=1e-4)
+    # point-side gathers agree in original point order
+    zf = sc.gather_rows(of, full.pt_sorted_pos)
+    zt = sc.gather_rows(ot, tight.pt_sorted_pos)
+    np.testing.assert_allclose(np.asarray(zt)[valid], np.asarray(zf)[valid],
+                               atol=1e-4)

@@ -28,6 +28,9 @@ def _tiny_cfg(tmp_path, model_type="LidarSeg"):
     cfg.VAL.PERIOD = 1
     cfg.TPU.POINT_CAPACITY = 320
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    # exercise the weight+grad histogram path (TFEventWriter parity)
+    cfg.TRAIN.LOG_HISTOGRAM = True
+    cfg.TRAIN.SUMMARY_PERIOD = 1
     cfg.OUTPUT_DIR = str(tmp_path)
     cfg.freeze()
     return cfg

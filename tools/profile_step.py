@@ -56,6 +56,7 @@ def build(mode):
     cfg.MODEL.late_feat_block_number = 11
     cfg.TRAIN.FusionTransformer.lambda_xm = 0.1
     cfg.TPU.POINT_CAPACITY = CAPACITY
+    cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
 
     ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
