@@ -118,6 +118,9 @@ def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
     """
     n, c = g.shape
     e_cols = w.shape[1]
+    # Mosaic DMA slices need the (minor) column extent 128-aligned.
+    assert (e_cols * c) % 128 == 0, (
+        f"E*C={e_cols * c} must be a multiple of 128 (pad g's columns)")
     if n % block:
         pad = block - n % block
         g = jnp.concatenate([g, jnp.zeros((pad, c), g.dtype)])
