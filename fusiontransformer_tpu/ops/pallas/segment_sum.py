@@ -118,9 +118,17 @@ def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
     """
     n, c = g.shape
     e_cols = w.shape[1]
-    # Mosaic DMA slices need the (minor) column extent 128-aligned.
-    assert (e_cols * c) % 128 == 0, (
-        f"E*C={e_cols * c} must be a multiple of 128 (pad g's columns)")
+    # Mosaic DMA slices need the (minor) column extent 128-aligned; pad the
+    # value columns up when E*C is not a multiple of 128.
+    if (e_cols * c) % 128:
+        cpad = -(-(e_cols * c) // 128) * 128 // e_cols - c
+        if (e_cols * (c + cpad)) % 128:
+            cpad = -(-c // 128) * 128 - c   # fall back: pad c itself to 128k
+        g = jnp.concatenate([g, jnp.zeros((n, cpad), g.dtype)], axis=1)
+        out = _sorted_segment_weighted_sum(g, w, ids, num_out, block=block,
+                                           interpret=interpret)
+        return out.reshape(num_out, e_cols, c + cpad)[:, :, :c].reshape(
+            num_out, e_cols * c)
     if n % block:
         pad = block - n % block
         g = jnp.concatenate([g, jnp.zeros((pad, c), g.dtype)])
