@@ -29,6 +29,11 @@ def load_torch_state_dict(path, strip_prefix=None):
     payload = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(payload, dict) and "state_dict" in payload:
         payload = payload["state_dict"]
+    # CheckpointerV2 payloads (reference common/utils/checkpoint.py:39)
+    # nest the model under "model".
+    if isinstance(payload, dict) and "model" in payload and not any(
+            hasattr(v, "detach") for v in payload.values()):
+        payload = payload["model"]
     out = {}
     for k, v in payload.items():
         if strip_prefix:
@@ -40,11 +45,15 @@ def load_torch_state_dict(path, strip_prefix=None):
     return out
 
 
-def convert_deit_to_vit2d(sd, depth=12):
+def convert_deit_to_vit2d(sd, depth=None):
     """Map a timm DeiT(-distilled) state_dict to VisionTransformer2D params.
 
     Returns a nested dict to merge into variables["params"]["<vit module>"].
+    ``depth=None`` infers the block count from the keys.
     """
+    if depth is None:
+        depth = 1 + max(int(k.split(".")[1]) for k in sd
+                        if k.startswith("blocks."))
     p = {}
 
     w = sd["patch_embed.proj.weight"]          # [D, C, ph, pw]
@@ -235,6 +244,98 @@ def convert_linear_head(sd, key="linear"):
     """torch nn.Linear head -> flax TorchLinear params."""
     return _as_f32({"kernel": np.asarray(sd[key + ".weight"]).T,
                     "bias": sd[key + ".bias"]})
+
+
+# --------------------------------------------------------------------------- #
+# Full trained reference models -> our variables trees.
+#
+# Reference checkpoint layouts (CheckpointerV2 payloads store the model
+# state_dict under "model"):
+#   LidarSeg                  backbone.* + linear.*            lidar_model.py:4
+#   Early/MiddleFusion        lidar_backbone.* = SPVCNN keys directly
+#     (Net3DSeg SUBCLASSES SPVCNN, middle_fusion.py:10 / early_fusion.py)
+#     + lidar_backbone.{middle|early}_fusion_transform.{0,1}
+#     + lidar_backbone.linear(2) ; image_backbone.* = Net2DBillinear
+#   LateFusion                lidar_backbone.backbone.* (late_fusion.py:13)
+#   Net2DBillinear            sample_down.stem.{0,2}, backbone.* (timm DeiT),
+#     up.<block>.stem.{0,2}, linear(2)    image_models_billinear.py:8-86
+# --------------------------------------------------------------------------- #
+
+
+def _conv1x1_as_linear(sd, key):
+    w = np.asarray(sd[key + ".weight"])          # [out, in, 1, 1]
+    return {"kernel": w[:, :, 0, 0].T, "bias": sd[key + ".bias"]}
+
+
+def _bn_pair(sd, key):
+    return ({"scale": sd[key + ".weight"], "bias": sd[key + ".bias"]},
+            {"mean": sd[key + ".running_mean"],
+             "var": sd[key + ".running_var"]})
+
+
+def convert_image_model(sd, prefix="", middle_block=None, late_block=11):
+    """Reference ``Net2DBillinear`` state_dict -> our ``Net2DBilinear`` tree."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    params, stats = {}, {}
+    params["sample_down"] = {"conv": _conv1x1_as_linear(sd, "sample_down.stem.0")}
+    params["sample_down"]["bn"], sdb = _bn_pair(sd, "sample_down.stem.2")
+    stats["sample_down"] = {"bn": sdb}
+    params["backbone"] = convert_deit_to_vit2d(
+        {k[len("backbone."):]: v for k, v in sd.items()
+         if k.startswith("backbone.")})
+    blocks = [late_block] + ([middle_block] if middle_block is not None
+                             and middle_block != late_block else [])
+    for b in blocks:
+        params[f"up_{b}"] = {"conv": _conv1x1_as_linear(sd, f"up.{b}.stem.0")}
+        params[f"up_{b}"]["bn"], s = _bn_pair(sd, f"up.{b}.stem.2")
+        stats[f"up_{b}"] = {"bn": s}
+    params["linear"] = {"kernel": np.asarray(sd["linear.weight"]).T,
+                        "bias": sd["linear.bias"]}
+    if "linear2.weight" in sd:
+        params["linear2"] = {"kernel": np.asarray(sd["linear2.weight"]).T,
+                             "bias": sd["linear2.bias"]}
+    return _as_f32(params), _as_f32(stats)
+
+
+def convert_lidarseg(sd):
+    """Reference ``LidarSeg`` -> (params, batch_stats) for our LidarSeg."""
+    bp, bs = convert_spvcnn(sd, prefix="backbone.")
+    params = {"backbone": bp, "linear": convert_linear_head(sd)}
+    return _as_f32(params), _as_f32({"backbone": bs})
+
+
+def convert_fusion_model(sd, fusion, middle_block=None, late_block=11):
+    """Reference Early/Middle/LateFusionTransformer -> our variables tree.
+
+    Args:
+      sd: model state_dict (flat torch keys).
+      fusion: 'early' | 'middle' | 'late'.
+    Returns:
+      (params, batch_stats) nested dicts for ``FusionTransformerBase``.
+    """
+    spv_prefix = ("lidar_backbone.backbone." if fusion == "late"
+                  else "lidar_backbone.")
+    spv_p, spv_s = convert_spvcnn(sd, prefix=spv_prefix)
+    if fusion in ("early", "middle"):
+        key = f"lidar_backbone.{fusion}_fusion_transform"
+        spv_p["fusion_linear"] = {
+            "kernel": np.asarray(sd[key + ".0.weight"]).T,
+            "bias": sd[key + ".0.bias"]}
+        spv_p["fusion_bn"], s = _bn_pair(sd, key + ".1")
+        spv_s["fusion_bn"] = s
+    lid_p = {"backbone": spv_p,
+             "linear": convert_linear_head(sd, "lidar_backbone.linear")}
+    if "lidar_backbone.linear2.weight" in sd:
+        lid_p["linear2"] = convert_linear_head(sd, "lidar_backbone.linear2")
+    img_p, img_s = convert_image_model(sd, prefix="image_backbone.",
+                                       middle_block=middle_block,
+                                       late_block=late_block)
+    params = {"lidar_backbone": lid_p, "image_backbone": img_p}
+    stats = {"lidar_backbone": {"backbone": spv_s},
+             "image_backbone": img_s}
+    return _as_f32(params), _as_f32(stats)
 
 
 def merge_params(target, updates, path=""):

@@ -70,9 +70,8 @@ def _bn_sd(key, c):
             key + ".running_var": np.ones(c, np.float32)}
 
 
-def _fake_reference_sd():
-    """Synthesize a reference-layout SPVCNN state_dict (random values)."""
-    rs = np.random.RandomState(1)
+def _fake_spvcnn_sd(rs):
+    """Synthesize a reference-layout SPVCNN state_dict (unprefixed keys)."""
     cs = [32, 32, 64, 128, 256, 256, 128, 96, 96]
     sd = {}
 
@@ -115,8 +114,14 @@ def _fake_reference_sd():
             rs.randn(cout, cin).astype(np.float32) * 0.05
         sd[f"point_transforms.{n}.0.bias"] = np.zeros(cout, np.float32)
         bn(f"point_transforms.{n}.1", cout)
+    return sd
+
+
+def _fake_reference_sd():
+    rs = np.random.RandomState(1)
+    sd = _fake_spvcnn_sd(rs)
     return {"backbone." + k: v for k, v in sd.items()} | {
-        "linear.weight": rs.randn(20, cs[8]).astype(np.float32) * 0.05,
+        "linear.weight": rs.randn(20, 96).astype(np.float32) * 0.05,
         "linear.bias": np.zeros(20, np.float32)}
 
 
@@ -148,3 +153,97 @@ def test_full_tree_merge():
                       {"feats": jnp.ones((N, 4), jnp.float32)}, hier,
                       train=False)
     assert np.isfinite(np.asarray(out["lidar_seg_logit"])).all()
+
+
+def _fake_deit_sd(rs, depth=2, d=64, tokens=16):
+    sd = {"patch_embed.proj.weight": rs.randn(d, 3, 16, 16).astype(np.float32) * 0.02,
+          "patch_embed.proj.bias": np.zeros(d, np.float32),
+          "cls_token": rs.randn(1, 1, d).astype(np.float32) * 0.02,
+          "dist_token": rs.randn(1, 1, d).astype(np.float32) * 0.02,
+          "pos_embed": rs.randn(1, tokens + 2, d).astype(np.float32) * 0.02}
+    for i in range(depth):
+        b = f"blocks.{i}."
+        for nm in ("norm1", "norm2"):
+            sd[b + nm + ".weight"] = np.ones(d, np.float32)
+            sd[b + nm + ".bias"] = np.zeros(d, np.float32)
+        sd[b + "attn.qkv.weight"] = rs.randn(3 * d, d).astype(np.float32) * 0.02
+        sd[b + "attn.qkv.bias"] = np.zeros(3 * d, np.float32)
+        sd[b + "attn.proj.weight"] = rs.randn(d, d).astype(np.float32) * 0.02
+        sd[b + "attn.proj.bias"] = np.zeros(d, np.float32)
+        sd[b + "mlp.fc1.weight"] = rs.randn(4 * d, d).astype(np.float32) * 0.02
+        sd[b + "mlp.fc1.bias"] = np.zeros(4 * d, np.float32)
+        sd[b + "mlp.fc2.weight"] = rs.randn(d, 4 * d).astype(np.float32) * 0.02
+        sd[b + "mlp.fc2.bias"] = np.zeros(d, np.float32)
+    return sd
+
+
+def test_full_fusion_checkpoint_conversion():
+    """A synthetic reference MiddleFusionTransformer state_dict converts onto
+    every leaf of our FusionTransformerBase tree and the forward runs."""
+    from fusiontransformer_tpu.models.fusion import FusionTransformerBase
+
+    rs = np.random.RandomState(7)
+    d, depth, ncls = 64, 2, 20
+    sd = {}
+    # lidar side: Net3DSeg SUBCLASSES SPVCNN -> keys directly on the prefix
+    for k, v in _fake_spvcnn_sd(rs).items():
+        sd["lidar_backbone." + k] = v
+    sd["lidar_backbone.middle_fusion_transform.0.weight"] = \
+        rs.randn(256, 96).astype(np.float32) * 0.05
+    sd["lidar_backbone.middle_fusion_transform.0.bias"] = \
+        np.zeros(256, np.float32)
+    for s, v in _bn_sd("lidar_backbone.middle_fusion_transform.1", 256).items():
+        sd[s] = v
+    for head in ("linear", "linear2"):
+        sd[f"lidar_backbone.{head}.weight"] = \
+            rs.randn(ncls, 96).astype(np.float32) * 0.05
+        sd[f"lidar_backbone.{head}.bias"] = np.zeros(ncls, np.float32)
+    # image side
+    sd["image_backbone.sample_down.stem.0.weight"] = \
+        rs.randn(3, 3, 1, 1).astype(np.float32)
+    sd["image_backbone.sample_down.stem.0.bias"] = np.zeros(3, np.float32)
+    for s, v in _bn_sd("image_backbone.sample_down.stem.2", 3).items():
+        sd[s] = v
+    for k, v in _fake_deit_sd(rs, depth=depth, d=d).items():
+        sd["image_backbone.backbone." + k] = v
+    for blk in (0, 1):
+        sd[f"image_backbone.up.{blk}.stem.0.weight"] = \
+            rs.randn(96, d, 1, 1).astype(np.float32) * 0.05
+        sd[f"image_backbone.up.{blk}.stem.0.bias"] = np.zeros(96, np.float32)
+        for s, v in _bn_sd(f"image_backbone.up.{blk}.stem.2", 96).items():
+            sd[s] = v
+    for head in ("linear", "linear2"):
+        sd[f"image_backbone.{head}.weight"] = \
+            rs.randn(ncls, 96).astype(np.float32) * 0.05
+        sd[f"image_backbone.{head}.bias"] = np.zeros(ncls, np.float32)
+
+    params, stats = tc.convert_fusion_model(sd, "middle", middle_block=0,
+                                            late_block=1)
+
+    coords, hier = _dense_block_hier(6)
+    N = coords.shape[0]
+    model = FusionTransformerBase(
+        num_classes=ncls, dual_head=True, fusion="middle",
+        middle_feat_block=0, late_feat_block=1,
+        image_height=37, image_width=122,
+        vit_img_size=64, vit_patch=16, vit_embed_dim=d, vit_depth=depth,
+        vit_heads=2, compute_dtype=jnp.float32)
+    batch = {"feats": jnp.ones((N, 4), jnp.float32),
+             "img": jnp.zeros((1, 37, 122, 3), jnp.float32),
+             "img_indices": jnp.zeros((N, 2), jnp.int32),
+             "pt_batch": jnp.zeros((N,), jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch, hier, train=False)
+    tgt_p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    tgt_s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    n_p = tc.merge_params(tgt_p, params)
+    n_s = tc.merge_params(tgt_s, stats)
+    assert n_p == len(jax.tree_util.tree_leaves(tgt_p)), \
+        (n_p, len(jax.tree_util.tree_leaves(tgt_p)))
+    assert n_s == len(jax.tree_util.tree_leaves(tgt_s))
+
+    out = model.apply({"params": tgt_p, "batch_stats": tgt_s}, batch, hier,
+                      train=False)
+    for k in ("lidar_seg_logit", "img_seg_logit", "lidar_seg_logit2",
+              "img_seg_logit2"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
