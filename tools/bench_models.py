@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Per-model-family inference throughput on one chip (BASELINE.md table).
+
+Measures batch-1 pipelined scans/sec for each reference config family at the
+flagship compute shapes (KITTI-sized synthetic scans):
+  LidarSeg (3D only), ImageSegBilinear (2D only), Late/Early/Middle fusion.
+
+Usage: python tools/bench_models.py [family ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BATCH = 1
+POINTS = 18_000
+CAPACITY = 20_480
+
+FAMILIES = {
+    # family: (USE_LIDAR, USE_IMAGE, USE_FUSION, MODEL.TYPE)
+    "lidar": (True, False, False, "LidarSeg"),
+    "image": (False, True, False, "ImageSegBilinear"),
+    "latefusion": (True, True, True, "LateFusionTransformer"),
+    "earlyfusion": (True, True, True, "EarlyFusionTransformer"),
+    "middlefusion": (True, True, True, "MiddleFusionTransformer"),
+}
+
+
+def bench_family(name):
+    import jax
+    import jax.numpy as jnp
+
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.data.collate import collate_padded
+    from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+    from fusiontransformer_tpu.models.build import build_model
+    from fusiontransformer_tpu.modules.steps import (level_caps_from_cfg,
+                                                     make_eval_step)
+    from fusiontransformer_tpu.modules.SemanticTrainer import init_train_state
+    from fusiontransformer_tpu.modules.steps import TrainState
+    import optax
+
+    use_lidar, use_image, use_fusion, mtype = FAMILIES[name]
+    cfg = get_default_cfg()
+    cfg.MODEL.TYPE = mtype
+    cfg.MODEL.USE_LIDAR = use_lidar
+    cfg.MODEL.USE_IMAGE = use_image
+    cfg.MODEL.USE_FUSION = use_fusion
+    cfg.MODEL.DUAL_HEAD = use_fusion
+    if use_fusion or use_image:
+        cfg.MODEL.late_feat_block_number = 11
+    if mtype in ("MiddleFusionTransformer", "EarlyFusionTransformer"):
+        cfg.MODEL.middle_feat_block_number = \
+            0 if mtype == "EarlyFusionTransformer" else 5
+    cfg.VAL.BATCH_SIZE = BATCH
+    cfg.TPU.POINT_CAPACITY = CAPACITY
+    cfg.TPU.L0_CAPACITY_FRACTION = 0.85
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
+
+    ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
+    batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
+                           370, 1226)
+    batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
+                                   "pt_valid", "img", "img_indices")}
+    batch = jax.device_put(batch)
+
+    model = build_model(cfg)[0]
+    tx = optax.adam(1e-4)
+    state = init_train_state(cfg, model, tx, BATCH)
+    estep = jax.jit(make_eval_step(cfg, model, BATCH)[0])
+
+    out = estep(state, batch)
+    _ = np.asarray(out["pred_ensemble" if use_fusion else (
+        "pred_3d" if use_lidar else "pred_2d")][:1])
+    iters = 20
+    t0 = time.perf_counter()
+    outs = [estep(state, batch) for _ in range(iters)]
+    key = "pred_ensemble" if use_fusion else (
+        "pred_3d" if use_lidar else "pred_2d")
+    _ = np.asarray(outs[-1][key][:1])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name}: {BATCH/dt:.2f} scans/s ({dt*1e3:.1f} ms/batch of {BATCH})",
+          flush=True)
+    return BATCH / dt
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    names = sys.argv[1:] or list(FAMILIES)
+    for n in names:
+        bench_family(n)
+
+
+if __name__ == "__main__":
+    main()
