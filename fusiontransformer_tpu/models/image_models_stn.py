@@ -60,9 +60,10 @@ class ScaleUpModule(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, out_h: int, out_w: int):
-        # tokens: [B, 576, 768] -> per-token linear to out_features*16*16.
+        # tokens: [B, g*g, D] -> per-token linear to out_features*16*16.
         b, t, _ = tokens.shape
-        g = 24
+        g = int(round(t ** 0.5))
+        assert g * g == t, f"token count {t} is not a square grid"
         h = TorchLinear(self.out_features * 16 * 16,
                         compute_dtype=self.compute_dtype, name="up_conv")(tokens)
         h = h.reshape(b, g, g, 16, 16, self.out_features)
