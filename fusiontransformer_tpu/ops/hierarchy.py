@@ -27,11 +27,9 @@ with jitted integer ops:
 * ks=2 stride=2 down/up maps (``child_idx`` / ``parent_idx`` + ``child_kidx``)
   via the cumsum positions — no search at all;
 * trilinear devoxelize corner maps, replacing ``spf.calc_ti_weights`` +
-  ``spdevoxelize`` (reference ``models/utils.py:68-106``), by the same
-  top-down derivation: a point's corner voxels at the top level are the
-  ``{0,+1}^3`` columns of its containing voxel's neighbor row, and corners at
-  level l are children of corners at level l+1 (per-dim corner index
-  ``r & b`` and slot ``r ^ b`` with ``r = (c >> l) & 1``).
+  ``spdevoxelize`` (reference ``models/utils.py:68-106``): a point's corner
+  voxels at level l are the ``{0,+1}^3`` columns of its containing voxel's
+  level-l neighbor row — one row gather + a static column pick per level.
 
 Everything is fixed-capacity: each level has a static ``cap``; overflow voxels
 are dropped (masked) and counted in ``nvalid_raw`` so callers can detect
@@ -179,24 +177,8 @@ def _nbr_descent_tables():
     return colsel, sel64
 
 
-def _corner_descent_tables():
-    """Static per-(r-combo, corner) tables: (parent corner, child slot)."""
-    sel64 = np.zeros((8, 64, 8), np.float32)   # r -> (e3*8+t3) -> corner b
-    for r in range(8):
-        rb = ((r >> 2) & 1, (r >> 1) & 1, r & 1)
-        for b in range(8):
-            bb = ((b >> 2) & 1, (b >> 1) & 1, b & 1)
-            e3 = t3 = 0
-            for i in range(3):
-                e3 = e3 * 2 + (rb[i] & bb[i])
-                t3 = t3 * 2 + (rb[i] ^ bb[i])
-            sel64[r, e3 * 8 + t3, b] = 1.0
-    return sel64
-
-
 _NBR_COLSEL, _NBR_SEL64 = _nbr_descent_tables()
-_CORNER_SEL64 = _corner_descent_tables()
-# Top-level corners: nbr27 columns for per-dim offsets {0, +1}.
+# Per-level corners: nbr27 columns for per-dim offsets {0, +1}.
 _CORNER_TOP_COLS = np.array(
     [(bx + 1) * 9 + (by + 1) * 3 + (bz + 1)
      for (bx, by, bz) in _KS2_OFFSETS], np.int64)
@@ -359,27 +341,23 @@ def build_hierarchy(coords, batch_idx, valid,
 
     need_pt = sorted(l for l in point_levels if l > 0)
     if need_pt:
-        lmin = need_pt[0]
-        # Ancestor chain: the point's containing voxel at every level.
-        anc = pt_sorted_pos
+        # A point's corner voxels at level l are the {0,+1}^3 columns of its
+        # CONTAINING voxel's ks3 neighbor row — and nbr_idx already exists at
+        # every level, so each corner map is one [N]-row gather + a static
+        # column pick (the recursive corner descent this replaces burned
+        # ~13 ms/step in lane-padded [N*8, 8] int shapes).
+        anc_by_level = {0: pt_sorted_pos}
         for l in range(0, T):
             p_idx, _ = parent_links[l]
-            anc = jnp.concatenate(
-                [p_idx, jnp.full((1,), level_caps[l + 1], jnp.int32)])[anc]
-        # Top-level corners = the {0,+1}^3 columns of the ancestor's nbr row.
-        cn = _pad_rows(nbr_by_level[T], level_caps[T])[anc]       # [N, 27]
-        corner = jnp.stack([cn[:, int(c)] for c in _CORNER_TOP_COLS], axis=1)
-        corner_by_level = {T: corner}
-        for l in range(T - 1, lmin - 1, -1):
-            child2d = _pad_rows(levels[l + 1].child_idx, level_caps[l])
-            childs = child2d[corner_by_level[l + 1]]              # [N, 8, 8]
-            r = (coords >> l) & 1
-            rcombo = r[:, 0] * 4 + r[:, 1] * 2 + r[:, 2]
-            corner_by_level[l] = _onehot_select(
-                childs.reshape(-1, 64), _CORNER_SEL64, rcombo)
+            anc_by_level[l + 1] = jnp.concatenate(
+                [p_idx, jnp.full((1,), level_caps[l + 1], jnp.int32)])[
+                    anc_by_level[l]]
+        cols = jnp.asarray(_CORNER_TOP_COLS, jnp.int32)
         for l in need_pt:
             cap = level_caps[l]
-            idx8 = jnp.where(valid[:, None], corner_by_level[l], cap)
+            cn = _pad_rows(nbr_by_level[l], cap)[anc_by_level[l]]  # [N, 27]
+            idx8 = cn[:, cols]
+            idx8 = jnp.where(valid[:, None], idx8, cap)
             w8 = _corner_weights(coords, l)
             w8 = jnp.where(idx8 == cap, 0.0, w8)
             pt_corner_idx[l] = idx8
