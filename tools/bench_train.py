@@ -17,10 +17,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Batch sweep on v5e (r1): train 10.8 scans/s @ batch 4, 11.96 @ 8,
-# 11.27 @ 16 — fixed costs (hierarchy sorts, optimizer) amortize up to
-# batch 8, then HBM pressure wins.
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
+# Batch sweep on v5e (after capacity tightening + Pallas adjoints removed
+# the fixed costs): train scans/s 17.96 @ b1, 19.01 @ b2, 18.05 @ b4,
+# 16.8 @ b8, 16.03 @ b16 — batch 2 optimal, mirroring inference where
+# gathers scale linearly and almost nothing amortizes.
+BATCH = int(os.environ.get("BENCH_BATCH", 2))
 POINTS = 18_000
 CAPACITY = 20_480
 NUM_CLASSES = 20
