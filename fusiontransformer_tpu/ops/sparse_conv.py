@@ -34,6 +34,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _prec(cdt):
+    """f32 compute means *true* f32: TPU's default matmul precision is a
+    single bf16 pass, which is right for the bf16 production path but wrong
+    for parity/debug runs that ask for float32."""
+    return jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+
+
 def pad_row(feats):
     """Append one zero row so sentinel index V gathers zeros."""
     return jnp.concatenate(
@@ -67,6 +74,7 @@ def _float0(x):
 def _subm3_impl(feats, w, nbr_idx, cdt):
     g = pad_row(feats.astype(cdt))[nbr_idx.T]          # [27, V, Cin]
     return jnp.einsum("kvc,kco->vo", g, w.astype(cdt),
+                      precision=_prec(cdt),
                       preferred_element_type=jnp.float32)
 
 
@@ -88,9 +96,11 @@ def _subm3_bwd(cdt, res, dout):
     gd = pad_row(dout.astype(cdt))[nbr_idx.T]          # [27, V, Cout]
     # dfeats[u] = sum_k dout[nbr(u, k)] @ W[26-k]^T.
     dfeats = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt)[::-1],
+                        precision=_prec(cdt),
                         preferred_element_type=jnp.float32).astype(feats.dtype)
     # dW[26-k] = feats^T @ scattered(dout at offset 26-k) = feats^T @ gd[k].
     dw = jnp.einsum("vc,kvo->kco", feats.astype(cdt), gd,
+                    precision=_prec(cdt),
                     preferred_element_type=jnp.float32)[::-1].astype(w.dtype)
     return dfeats, dw, _float0(nbr_idx)
 
@@ -133,6 +143,7 @@ def _slot8(rows, kidx):
 def _down2_impl(feats_fine, w, child_idx, cdt):
     g = pad_row(feats_fine.astype(cdt))[child_idx.T]       # [8, Vc, Cin]
     return jnp.einsum("kvc,kco->vo", g, w.astype(cdt),
+                      precision=_prec(cdt),
                       preferred_element_type=jnp.float32)
 
 
@@ -141,6 +152,7 @@ def _up2_impl(feats_coarse, w, parent_idx, child_kidx, cdt):
     fp = pad_row(feats_coarse.astype(cdt))[parent_idx]     # [Vf, Cin]
     fp8 = _slot8(fp, child_kidx)                           # [Vf, 8, Cin]
     return jnp.einsum("vkc,kco->vo", fp8, w.astype(cdt),
+                      precision=_prec(cdt),
                       preferred_element_type=jnp.float32)
 
 
@@ -161,9 +173,11 @@ def _down2_bwd(cdt, res, dout):
     p8 = _slot8(p, child_kidx)                             # [Vf, 8, Cout]
     # dX[u] = dout[parent(u)] @ W[k_u]^T.
     dx = jnp.einsum("vko,kco->vc", p8, w.astype(cdt),
+                    precision=_prec(cdt),
                     preferred_element_type=jnp.float32).astype(feats_fine.dtype)
     # dW[k] = sum_u feats[u] (x) p8[u, k].
     dw = jnp.einsum("vc,vko->kco", feats_fine.astype(cdt), p8,
+                    precision=_prec(cdt),
                     preferred_element_type=jnp.float32).astype(w.dtype)
     return dx, dw, _float0(child_idx), _float0(parent_idx), _float0(child_kidx)
 
@@ -186,10 +200,12 @@ def _up2_bwd(cdt, res, dout):
     gd = pad_row(dout.astype(cdt))[child_idx.T]            # [8, Vc, Cout]
     # dX[p] = sum_k dout[child_idx[p, k]] @ W[k]^T.
     dx = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt),
+                    precision=_prec(cdt),
                     preferred_element_type=jnp.float32).astype(
         feats_coarse.dtype)
     # dW[k] = X^T @ (dout gathered at slot k).
     dw = jnp.einsum("vc,kvo->kco", feats_coarse.astype(cdt), gd,
+                    precision=_prec(cdt),
                     preferred_element_type=jnp.float32).astype(w.dtype)
     return dx, dw, _float0(parent_idx), _float0(child_kidx), _float0(child_idx)
 
@@ -243,6 +259,7 @@ def up_conv2(feats_coarse, w, parent_idx, child_kidx, child_idx=None,
 def conv1x1(feats, w, compute_dtype=jnp.bfloat16):
     """ks=1 sparse conv = per-voxel linear map."""
     return jnp.dot(feats.astype(compute_dtype), w.astype(compute_dtype),
+                   precision=_prec(compute_dtype),
                    preferred_element_type=jnp.float32)
 
 
