@@ -210,6 +210,13 @@ _C.MODEL.late_feat_block_number = None
 _C.TPU = CN()
 # Per-scan point buffer capacity. Batches allocate BATCH_SIZE * cap.
 _C.TPU.POINT_CAPACITY = 32768
+# Per-scan capacity buckets (ascending).  Empty = fixed POINT_CAPACITY.
+# With buckets, each batch is padded to the smallest bucket that fits its
+# largest scan; the jitted step retraces once per bucket and every level's
+# voxel capacity scales down with it (gathers are row-count-bound, so small
+# scans stop paying for the worst case).  POINT_CAPACITY should equal the
+# largest bucket.
+_C.TPU.CAPACITY_BUCKETS = ()
 # Level-0 voxel capacity as a fraction of the point buffer.  Points are 1:1
 # with L0 voxels (dataloader dedup), so the voxel arrays only need capacity
 # for the *valid* points; the point buffer's padding headroom can be shaved

@@ -68,7 +68,8 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
         image_width, image_height = crop_w, crop_h
     collate = get_collate(is_train=is_train, batch_size=batch_size,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
-                          image_height=image_height, image_width=image_width)
+                          image_height=image_height, image_width=image_width,
+                          capacity_buckets=cfg.TPU.CAPACITY_BUCKETS)
     return DataLoader(dataset, batch_size, collate, shuffle=is_train,
                       drop_last=False, seed=seed + cfg.RNG_SEED,
                       prefetch=max(1, cfg.DATALOADER.NUM_WORKERS))

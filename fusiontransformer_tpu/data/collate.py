@@ -21,9 +21,23 @@ import numpy as np
 
 def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
                    image_height: int, image_width: int,
-                   output_orig: bool = False, output_image: bool = True):
+                   output_orig: bool = False, output_image: bool = True,
+                   capacity_buckets: tuple = ()):
     b = batch_size
     cap = point_capacity
+    if capacity_buckets:
+        # Static-shape bucketing (SURVEY §7 north star): pick the smallest
+        # bucket that fits the batch's largest scan — gathers and GEMMs scale
+        # with capacity, so small scans shouldn't pay for the worst case.
+        # jax.jit retraces once per bucket (bounded by len(buckets)).
+        biggest = max((len(s["coords"]) for s in samples), default=0)
+        cap = None
+        for bk in sorted(capacity_buckets):
+            if bk >= biggest:
+                cap = int(bk)
+                break
+        if cap is None:   # largest bucket; overflow points get dropped
+            cap = int(max(capacity_buckets))
     n = b * cap
     out = {
         "coords": np.zeros((n, 3), np.int32),
@@ -74,9 +88,11 @@ def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
 
 
 def get_collate(is_train: bool, batch_size: int, point_capacity: int,
-                image_height: int, image_width: int, output_image: bool = True):
+                image_height: int, image_width: int, output_image: bool = True,
+                capacity_buckets: tuple = ()):
     """Reference ``get_collate_scn`` analog: eval batches carry orig fields."""
     return partial(collate_padded, batch_size=batch_size,
                    point_capacity=point_capacity, image_height=image_height,
                    image_width=image_width, output_orig=not is_train,
-                   output_image=output_image)
+                   output_image=output_image,
+                   capacity_buckets=tuple(capacity_buckets))

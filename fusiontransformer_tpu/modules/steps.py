@@ -58,17 +58,27 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def level_caps_from_cfg(cfg, batch_size: int):
-    base = batch_size * cfg.TPU.POINT_CAPACITY
+def level_caps_for_n(cfg, n_total: int):
+    """Voxel capacities per level for a batch whose point buffer holds
+    ``n_total`` rows.  Deriving this from the BATCH SHAPE (a trace-time
+    constant) rather than the config makes capacity bucketing free: the
+    collate picks a bucket-sized buffer per batch and jax.jit retraces once
+    per bucket (SURVEY §7's static-shape bucketing north star)."""
     # L0 voxels are 1:1 with valid points; the point buffer carries padding
     # headroom that the voxel arrays don't need (invalid points sort to the
     # tail, so level 0 is a slice).  L1+ chain off the previous level's cap.
-    caps = [min(base, max(128, int(round(base * cfg.TPU.L0_CAPACITY_FRACTION
-                                         / 128.0)) * 128))]
+    caps = [min(n_total,
+                max(128, int(round(n_total * cfg.TPU.L0_CAPACITY_FRACTION
+                                   / 128.0)) * 128))]
     for frac in cfg.TPU.LEVEL_CAPACITY_FRACTIONS:
         nxt = max(128, int(round(caps[-1] * frac / 128.0)) * 128)
         caps.append(nxt)
     return tuple(caps)
+
+
+def level_caps_from_cfg(cfg, batch_size: int):
+    """Capacities at the full (largest-bucket) point buffer."""
+    return level_caps_for_n(cfg, batch_size * cfg.TPU.POINT_CAPACITY)
 
 
 def _losses(cfg, out, batch, class_weights):
@@ -142,8 +152,11 @@ def make_train_step(cfg, model, tx, batch_size: int,
               if cfg.TRAIN.FROZEN_PATTERNS else None)
 
     def step(state: TrainState, batch, rng):
-        hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
-                                batch["pt_valid"], caps)
+        # Capacities follow the batch's (static) buffer size, so bucketed
+        # batches each get right-sized voxel arrays via one retrace/bucket.
+        hier = (build_hierarchy(
+            batch["coords"], batch["pt_batch"], batch["pt_valid"],
+            level_caps_for_n(cfg, batch["coords"].shape[0]))
                 if use_lidar else None)
 
         def loss_fn(params):
@@ -186,14 +199,14 @@ def make_grads_fn(cfg, model, batch_size: int):
     ``TorchpackCallbacks.py:289-301`` logs weight AND grad histograms).
     Compiled lazily and run once per summary period, so the extra
     forward/backward does not tax the train loop."""
-    caps = level_caps_from_cfg(cfg, batch_size)
     class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
                      if cfg.TRAIN.CLASS_WEIGHTS else None)
     use_lidar = cfg.MODEL.USE_LIDAR
 
     def grads(state: TrainState, batch, rng):
-        hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
-                                batch["pt_valid"], caps)
+        hier = (build_hierarchy(
+            batch["coords"], batch["pt_batch"], batch["pt_valid"],
+            level_caps_for_n(cfg, batch["coords"].shape[0]))
                 if use_lidar else None)
 
         def loss_fn(params):
@@ -215,14 +228,15 @@ def make_eval_step(cfg, model, batch_size: int,
 
     Softmax-sum 2D+3D ensemble parity with ``data/utils/validate.py:67-70``.
     """
-    caps = level_caps_from_cfg(cfg, batch_size)
+    caps = level_caps_from_cfg(cfg, batch_size)   # largest-bucket caps
     class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
                      if cfg.TRAIN.CLASS_WEIGHTS else None)
     use_lidar = cfg.MODEL.USE_LIDAR
 
     def step(state: TrainState, batch):
-        hier = (build_hierarchy(batch["coords"], batch["pt_batch"],
-                                batch["pt_valid"], caps)
+        hier = (build_hierarchy(
+            batch["coords"], batch["pt_batch"], batch["pt_valid"],
+            level_caps_for_n(cfg, batch["coords"].shape[0]))
                 if use_lidar else None)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
