@@ -59,6 +59,46 @@ def analyze_predictions(pred_dir, num_classes=20, modality="3d",
     return evaluator
 
 
+def overlay_predictions(pred_dir, out_dir, modality="3d", limit=20,
+                        palette="SemanticKITTI_short"):
+    """Visual analysis (reference ``notebooks/visual_analysis.ipynb``):
+    per-scan PNGs of predicted + ground-truth labels scattered on the camera
+    image, plus a BEV scatter of the voxel coords, from the ``.npz`` dumps.
+    """
+    import os
+
+    from fusiontransformer_tpu.data.utils.visualize import (
+        draw_bird_eye_view, draw_points_image_labels)
+
+    files = sorted(glob.glob(osp.join(pred_dir, "*.npz")))[:limit]
+    if not files:
+        raise FileNotFoundError(f"no .npz prediction dumps in {pred_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    key = f"predictions_{modality}"
+    written = []
+    for f in files:
+        d = np.load(f)
+        stem = osp.splitext(osp.basename(f))[0]
+        if key in d and "img_indices" in d and "img" in d:
+            img = d["img"].astype(np.float32)
+            # Images are stored normalized; min-max rescale for display.
+            img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+            for tag, labels in ((f"pred_{modality}", d[key]),
+                                ("gt", d["targets"])):
+                path = osp.join(out_dir, f"{stem}_{tag}.png")
+                draw_points_image_labels(
+                    img, d["img_indices"], labels, show=False,
+                    color_palette_type=palette, point_size=2.0,
+                    save_path=path)
+                written.append(path)
+        if "coords" in d:
+            path = osp.join(out_dir, f"{stem}_bev.png")
+            draw_bird_eye_view(d["coords"], show=False, save_path=path)
+            written.append(path)
+    print(f"wrote {len(written)} overlay images to {out_dir}")
+    return written
+
+
 def dataset_stats(preprocess_dir, num_classes=20):
     """Per-class counts + log-smoothed class weights over the train split."""
     mapper = L.make_label_mapper()
@@ -85,8 +125,14 @@ def main():
     ap.add_argument("--per_scan", action="store_true")
     ap.add_argument("--stats", default="",
                     help="preprocessed dataset dir for class statistics")
+    ap.add_argument("--overlay", default="",
+                    help="write label-overlay + BEV PNGs to this directory")
+    ap.add_argument("--palette", default="SemanticKITTI_short")
     args = ap.parse_args()
-    if args.pred_dir:
+    if args.pred_dir and args.overlay:
+        overlay_predictions(args.pred_dir, args.overlay,
+                            modality=args.modality, palette=args.palette)
+    elif args.pred_dir:
         analyze_predictions(args.pred_dir, modality=args.modality,
                             per_scan=args.per_scan)
     if args.stats:

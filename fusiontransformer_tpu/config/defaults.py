@@ -160,6 +160,9 @@ _C.DATASET.SyntheticSCN.image_normalizer = (
     IMAGENET_DEFAULT_STD,
 )
 _C.DATASET.SyntheticSCN.seed = 0
+# Per-scan size spread: each scan draws U[(1-jitter)*num_points, num_points]
+# rays (real frustum scans vary widely; needed to exercise capacity buckets).
+_C.DATASET.SyntheticSCN.point_count_jitter = 0.0
 _C.DATASET.SyntheticSCN.augmentation = CN()
 _C.DATASET.SyntheticSCN.augmentation.noisy_rot = 0.0
 _C.DATASET.SyntheticSCN.augmentation.flip_y = 0.0

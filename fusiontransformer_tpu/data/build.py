@@ -66,10 +66,32 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
     if is_train and augmentation.get("bottom_crop"):
         crop_w, crop_h = augmentation["bottom_crop"]
         image_width, image_height = crop_w, crop_h
+    buckets = tuple(cfg.TPU.CAPACITY_BUCKETS)
+    if buckets:
+        # A misconfigured ladder whose top bucket is below POINT_CAPACITY
+        # would silently shrink the batch buffer below the capacity that
+        # level_caps_from_cfg sizes init/eval for, dropping points with only
+        # num_dropped as a trace.  Fail loudly instead.
+        assert max(buckets) == cfg.TPU.POINT_CAPACITY, (
+            f"max(TPU.CAPACITY_BUCKETS)={max(buckets)} must equal "
+            f"TPU.POINT_CAPACITY={cfg.TPU.POINT_CAPACITY}")
+        if use_distributed and world_size > 1:
+            # Bucket choice is per-host (each host's collate sees only its
+            # own scans); different hosts would jit different bucket shapes
+            # for the same step.  Collectives are bucket-shape-independent so
+            # this is *correct*, but desynchronized recompiles stall the
+            # first encounter of every bucket — run multi-host with a single
+            # fixed capacity.
+            import logging
+            logging.getLogger("fusiontransformer").warning(
+                "TPU.CAPACITY_BUCKETS is per-host; disabling bucketing for "
+                "distributed run (world_size=%d) to keep step shapes "
+                "rank-synchronized.", world_size)
+            buckets = ()
     collate = get_collate(is_train=is_train, batch_size=batch_size,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
                           image_height=image_height, image_width=image_width,
-                          capacity_buckets=cfg.TPU.CAPACITY_BUCKETS)
+                          capacity_buckets=buckets)
     return DataLoader(dataset, batch_size, collate, shuffle=is_train,
                       drop_last=False, seed=seed + cfg.RNG_SEED,
                       prefetch=max(1, cfg.DATALOADER.NUM_WORKERS))

@@ -22,10 +22,15 @@ class SyntheticSCN:
     def __init__(self, split=("train",), num_scans=8, num_points=4096,
                  scale=20, full_scale=4096, image_width=1226, image_height=370,
                  image_normalizer=None, seed=0, output_orig=False,
-                 num_classes=20, **aug):
+                 num_classes=20, point_count_jitter=0.0, **aug):
         self.split = split
         self.num_scans = num_scans
         self.num_points = num_points
+        # Real frustum scans vary widely in size (KITTI ~12-25k points);
+        # jitter > 0 draws each scan's ray count from
+        # U[(1-jitter)*num_points, num_points] so capacity-bucket ladders
+        # can be derived and tested against a nondegenerate distribution.
+        self.point_count_jitter = float(point_count_jitter)
         self.scale = scale
         self.full_scale = full_scale
         self.image_width = image_width
@@ -57,6 +62,8 @@ class SyntheticSCN:
         voxel merging at coarse levels, which uniform random points do not.
         """
         n = self.num_points
+        if self.point_count_jitter > 0:
+            n = int(n * (1.0 - self.point_count_jitter * rng.rand()))
         n_beams = 64
         n_az = (n + n_beams - 1) // n_beams
         elev = np.linspace(-0.43, 0.05, n_beams)           # rad, ~KITTI HDL-64

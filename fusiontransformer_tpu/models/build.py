@@ -50,6 +50,12 @@ def build_model(cfg):
 
     if cfg.MODEL.USE_FUSION:
         train_2d, train_3d = build_metrics(cfg)
+        if cfg.MODEL.TYPE == "XMUDAFusion":
+            from fusiontransformer_tpu.models.xmuda_arch import XMUDAFusion
+            model = XMUDAFusion(num_classes=cfg.MODEL.NUM_CLASSES,
+                                dual_head=cfg.MODEL.DUAL_HEAD,
+                                compute_dtype=cdt)
+            return model, train_2d, train_3d
         builders = {
             "LateFusionTransformer": LateFusionTransformer,
             "MiddleFusionTransformer": MiddleFusionTransformer,
@@ -59,13 +65,28 @@ def build_model(cfg):
         return model, train_2d, train_3d
 
     if cfg.MODEL.USE_LIDAR:
-        assert cfg.MODEL.TYPE == "LidarSeg", cfg.MODEL.TYPE
-        model = LidarSeg(num_classes=cfg.MODEL.NUM_CLASSES, compute_dtype=cdt)
+        assert cfg.MODEL.TYPE in ("LidarSeg", "LidarSegSCN"), cfg.MODEL.TYPE
+        if cfg.MODEL.TYPE == "LidarSegSCN":
+            from fusiontransformer_tpu.models.xmuda_arch import LidarSegSCN
+            model = LidarSegSCN(num_classes=cfg.MODEL.NUM_CLASSES,
+                                dual_head=cfg.MODEL.DUAL_HEAD,
+                                compute_dtype=cdt)
+        else:
+            model = LidarSeg(num_classes=cfg.MODEL.NUM_CLASSES,
+                             compute_dtype=cdt)
         return model, SegIoU(num_classes=cfg.MODEL.NUM_CLASSES,
                              name="seg_iou_3d")
 
     if cfg.MODEL.USE_IMAGE:
-        assert cfg.MODEL.TYPE in ("ImageSegBilinear", "ImageSeg"), cfg.MODEL.TYPE
+        assert cfg.MODEL.TYPE in ("ImageSegBilinear", "ImageSeg",
+                                  "ImageSegResNet"), cfg.MODEL.TYPE
+        if cfg.MODEL.TYPE == "ImageSegResNet":
+            from fusiontransformer_tpu.models.xmuda_arch import ImageSegResNet
+            model = ImageSegResNet(num_classes=cfg.MODEL.NUM_CLASSES,
+                                   dual_head=cfg.MODEL.DUAL_HEAD,
+                                   compute_dtype=cdt)
+            return model, SegIoU(num_classes=cfg.MODEL.NUM_CLASSES,
+                                 name="seg_iou_2d")
         # The STN 'ImageSeg' variant shares the bilinear path; the reference's
         # STN network (image_models_stn.py) is retained as a legacy variant —
         # see models/image_models_stn.py.

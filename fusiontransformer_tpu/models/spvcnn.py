@@ -208,7 +208,8 @@ class SPVCNN(nn.Module):
         # ---- z1 = v2p(x4) + PT0(z0) (+ middle fusion injection)
         z1 = sc.devoxelize_trilinear(xs[4], hier.pt_corner_idx[4],
                                      hier.pt_corner_w[4],
-                                     plan=sc.devox_plan(hier, 4))
+                                     plan=sc.devox_plan(hier, 4),
+                                     compute_dtype=cdt)
         z1 = z1 + PointTransform(cs[4], cdt, name="point_transform0")(
             z0, hier.pt_valid, train)
         if self.fusion == "middle":
@@ -218,7 +219,7 @@ class SPVCNN(nn.Module):
         # ---- decoder stage 1+2 (L4 -> L3 -> L2)
         y = sc.voxelize_mean(z1, hier.pt_voxel_idx[4], hier.pt_valid,
                              L[4].valid.shape[0],
-                             plan=sc.devox_plan(hier, 4))
+                             plan=sc.devox_plan(hier, 4), compute_dtype=cdt)
         y = drop(y)
         y = UpConv2(cs[5], cdt, name="up1_deconv")(
             y, L[3].parent_idx, L[3].child_kidx, L[4].child_idx)
@@ -243,14 +244,15 @@ class SPVCNN(nn.Module):
         # ---- z2 = v2p(y2) + PT1(z1)
         z2 = sc.devoxelize_trilinear(y, hier.pt_corner_idx[2],
                                      hier.pt_corner_w[2],
-                                     plan=sc.devox_plan(hier, 2))
+                                     plan=sc.devox_plan(hier, 2),
+                                     compute_dtype=cdt)
         z2 = z2 + PointTransform(cs[6], cdt, name="point_transform1")(
             z1, hier.pt_valid, train)
 
         # ---- decoder stage 3+4 (L2 -> L1 -> L0)
         y = sc.voxelize_mean(z2, hier.pt_voxel_idx[2], hier.pt_valid,
                              L[2].valid.shape[0],
-                             plan=sc.devox_plan(hier, 2))
+                             plan=sc.devox_plan(hier, 2), compute_dtype=cdt)
         y = drop(y)
         y = UpConv2(cs[7], cdt, name="up3_deconv")(
             y, L[1].parent_idx, L[1].child_kidx, L[2].child_idx)

@@ -43,6 +43,74 @@ class Net2DSeg(nn.Module):
         return preds
 
 
+class LidarSegSCN(nn.Module):
+    """UNetSCN stream with the standard trainer interface (CLI-reachable
+    via ``configs/semantic_kitti/legacy_scn_lidar.yaml``; reference intent
+    ``configs/semantic_kitti/baseline.yaml`` 3D stream).
+
+    Needs a 7-level hierarchy: set ``TPU.LEVEL_CAPACITY_FRACTIONS`` to six
+    entries in the config.
+    """
+
+    num_classes: int
+    dual_head: bool = False
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, batch, hier, train: bool = False):
+        preds = Net3DSeg(num_classes=self.num_classes,
+                         dual_head=self.dual_head,
+                         compute_dtype=self.compute_dtype,
+                         name="net_3d_seg")(batch, hier, train)
+        out = {"lidar_seg_logit": preds["seg_logit"]}
+        if self.dual_head:
+            out["lidar_seg_logit2"] = preds["seg_logit2"]
+        return out
+
+
+class ImageSegResNet(nn.Module):
+    """UNetResNet34 stream with the standard trainer interface
+    (``legacy_resnet_image.yaml``; reference baseline 2D stream)."""
+
+    num_classes: int
+    dual_head: bool = False
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, batch, hier=None, train: bool = False):
+        preds = Net2DSeg(num_classes=self.num_classes,
+                         dual_head=self.dual_head,
+                         compute_dtype=self.compute_dtype,
+                         name="net_2d_seg")(batch, hier, train)
+        out = {"img_seg_logit": preds["seg_logit"]}
+        if self.dual_head:
+            out["img_seg_logit2"] = preds["seg_logit2"]
+        return out
+
+
+class XMUDAFusion(nn.Module):
+    """Joint 2D+3D legacy pair (``legacy_xmuda.yaml``): UNetResNet34 +
+    UNetSCN trained together, coupled only through the dual-head KL loss —
+    the xMUDA recipe the reference's stale ``xmuda*.yaml`` configs encoded.
+    """
+
+    num_classes: int
+    dual_head: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, batch, hier, train: bool = False):
+        out = ImageSegResNet(num_classes=self.num_classes,
+                             dual_head=self.dual_head,
+                             compute_dtype=self.compute_dtype,
+                             name="image_backbone")(batch, hier, train)
+        out.update(LidarSegSCN(num_classes=self.num_classes,
+                               dual_head=self.dual_head,
+                               compute_dtype=self.compute_dtype,
+                               name="lidar_backbone")(batch, hier, train))
+        return out
+
+
 class Net3DSeg(nn.Module):
     num_classes: int
     dual_head: bool

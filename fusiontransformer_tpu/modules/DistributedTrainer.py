@@ -127,6 +127,15 @@ class DistributedTrainer(SemanticTrainer):
                         dump["predictions_3d"] = res["pred_3d"][sl]
                     if "pred_2d" in res:
                         dump["predictions_2d"] = res["pred_2d"][sl]
+                    # For the visual-analysis overlay CLI (reference
+                    # notebooks/visual_analysis.ipynb): projected pixel
+                    # coords + the (normalized) camera image, f16 to keep
+                    # dumps small.
+                    if "img_indices" in batch:
+                        dump["img_indices"] = batch["img_indices"][sl]
+                    if "img" in batch:
+                        dump["img"] = np.asarray(batch["img"][i],
+                                                 np.float16)
                     name = f"{batch['seq'][i]}_{batch['filename'][i]}.npz"
                     np.savez(osp.join(pred_dir, name), **dump)
             self.logger.info("Saved predictions to %s", pred_dir)

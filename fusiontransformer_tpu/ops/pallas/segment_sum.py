@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
-            *, nb, wr, srows, e_cols, c):
+            *, nb, wr, srows, e_cols, c, mxu_dtype):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -61,11 +61,13 @@ def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
     carried = acc_ref[pl.ds(shift, wr), :]
 
     # contrib[n, e*C:(e+1)*C] = w[n, e] * g[n, :].  The minor-dim inserts
-    # must stay 32-bit (Mosaic limitation); cast the product to bf16.
+    # must stay 32-bit (Mosaic limitation); cast the product to mxu_dtype
+    # afterwards (bf16 on the production path; f32 when the caller's
+    # compute dtype is float32 so parity runs stay truly f32).
     g = g_ref[:].astype(jnp.float32)                        # [nb, c]
     w = w_ref[:].astype(jnp.float32)                        # [nb, e_cols]
     contrib = (w[:, :, None] * g[:, None, :]).reshape(
-        nb, e_cols * c).astype(jnp.bfloat16)
+        nb, e_cols * c).astype(mxu_dtype)
 
     # One-hot reduce: S[r, n] = (ids[n] - base == r).  Ids far outside the
     # window select no row; ids just past the live range (the sentinel at a
@@ -73,7 +75,7 @@ def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
     # must carry zero weights.
     local = ids_ref[0, :][None, :] - base                    # [1, nb]
     rows = jax.lax.broadcasted_iota(jnp.int32, (wr, nb), 0)
-    S = (rows == local).astype(jnp.bfloat16)
+    S = (rows == local).astype(mxu_dtype)
     add = jnp.dot(S, contrib, preferred_element_type=jnp.float32)
 
     acc_ref[pl.ds(0, wr), :] = carried + add
@@ -90,18 +92,20 @@ def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
 
 
 def sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
-                                interpret=None):
+                                interpret=None, precise=False):
     if interpret is None:
-        # The Mosaic TPU pipeline needs real TPU hardware; tests and the
-        # virtual-device dry run execute on CPU via the interpreter.
-        interpret = jax.default_backend() == "cpu"
+        # The Mosaic TPU pipeline needs real TPU hardware; tests, the
+        # virtual-device dry run, and any non-TPU backend execute via the
+        # interpreter (Mosaic fails to lower on GPU too, not just CPU).
+        interpret = jax.default_backend() != "tpu"
     return _sorted_segment_weighted_sum(g, w, ids, num_out, block=block,
-                                        interpret=interpret)
+                                        interpret=interpret, precise=precise)
 
 
-@functools.partial(jax.jit, static_argnames=("num_out", "block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_out", "block", "interpret", "precise"))
 def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
-                                 interpret=False):
+                                 interpret=False, precise=False):
     """T[u, e*C:(e+1)*C] = sum_{n: ids[n]==u} w[n, e] * g[n, :].
 
     Args:
@@ -111,10 +115,13 @@ def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
         dropped entries use id >= num_out and MUST carry zero ``w`` rows
         (a sentinel id can land inside the tail block's window).
       num_out: static output row count (level capacity).
+      precise: keep per-point contributions in f32 through the one-hot MXU
+        matmul (default rounds them to bf16 — the production mixed-precision
+        path; pass True when the caller's compute dtype is float32).
     Returns:
       [num_out, E*C] float32.  Rows never reached by the stream (>= nvalid)
-      are UNWRITTEN (arbitrary bytes) — consumers must gather only live rows
-      or mask.
+      are ZERO (the live-range mask is applied here so the public contract
+      is safe for any downstream gather).
     """
     n, c = g.shape
     e_cols = w.shape[1]
@@ -126,7 +133,8 @@ def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
             cpad = -(-c // 128) * 128 - c   # fall back: pad c itself to 128k
         g = jnp.concatenate([g, jnp.zeros((n, cpad), g.dtype)], axis=1)
         out = _sorted_segment_weighted_sum(g, w, ids, num_out, block=block,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           precise=precise)
         return out.reshape(num_out, e_cols, c + cpad)[:, :, :c].reshape(
             num_out, e_cols * c)
     if n % block:
@@ -170,13 +178,20 @@ def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, nb=block, wr=wr, srows=srows,
-                          e_cols=e_cols, c=c),
+                          e_cols=e_cols, c=c,
+                          mxu_dtype=jnp.float32 if precise else jnp.bfloat16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, e_cols * c), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(base, ids8, g, w)
-    return out[:num_out]
+    # Rows the id stream never reaches are uninitialized HBM; ids are gapless
+    # so the live range is exactly [0, max live id + 1).  Zero the tail here
+    # so the public contract is "unreached rows are 0" (NaN garbage must not
+    # leak into any consumer that gathers with an unmasked index).
+    nvalid = jnp.max(jnp.where(ids < num_out, ids, -1)) + 1
+    live = jnp.arange(num_out, dtype=jnp.int32) < nvalid
+    return jnp.where(live[:, None], out[:num_out], 0.0)
 
 
 def sorted_segment_weighted_sum_ref(g, w, ids, num_out):

@@ -263,13 +263,15 @@ def conv1x1(feats, w, compute_dtype=jnp.bfloat16):
                    preferred_element_type=jnp.float32)
 
 
-def voxelize_mean(pt_feats, pt_voxel_idx, pt_valid, num_voxels, plan=None):
+def voxelize_mean(pt_feats, pt_voxel_idx, pt_valid, num_voxels, plan=None,
+                  compute_dtype=jnp.bfloat16):
     """Average-pool point features into their containing voxels.
 
     Matches ``spf.spvoxelize`` + ``spcount`` semantics (mean, reference
     ``models/utils.py:19-27``).  Sentinel indices land in a dropped overflow
     segment.  With a DevoxPlan the feature sum runs through the Pallas
-    sorted-segment kernel instead of an XLA scatter.
+    sorted-segment kernel instead of an XLA scatter; ``compute_dtype`` f32
+    keeps the kernel's per-point contributions un-rounded (true f32 parity).
     """
     ids = jnp.where(pt_valid, pt_voxel_idx, num_voxels)
     counts = jax.ops.segment_sum(
@@ -282,39 +284,38 @@ def voxelize_mean(pt_feats, pt_voxel_idx, pt_valid, num_voxels, plan=None):
             num_segments=num_voxels + 1)[:num_voxels]
         return sums * inv[:, None]
     return _voxmean_sum(pt_feats, pt_valid, ids, plan.sort_perm,
-                        plan.ids_sorted, num_voxels) * inv[:, None]
+                        plan.ids_sorted, num_voxels,
+                        compute_dtype == jnp.float32) * inv[:, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _voxmean_sum(pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted,
-                 num_voxels):
+                 num_voxels, precise):
     return _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted,
-                             num_voxels)
+                             num_voxels, precise)
 
 
-def _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted, num_voxels):
+def _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted, num_voxels,
+                      precise):
     from fusiontransformer_tpu.ops.pallas.segment_sum import (
         sorted_segment_weighted_sum)
 
     g_s = pad_row(pt_feats.astype(jnp.float32))[sort_perm]
     w_s = pad_row(pt_valid.astype(jnp.float32)[:, None])[sort_perm]
-    T = sorted_segment_weighted_sum(g_s, w_s, ids_sorted, num_voxels)
-    # Rows past the live range are unwritten garbage; ids are gapless so the
-    # live range is exactly [0, max live id + 1).  Zero the rest (NaN-safe
-    # for the masked BN that consumes this).
-    nvalid = jnp.max(jnp.where(ids_sorted < num_voxels, ids_sorted, -1)) + 1
-    live = jnp.arange(num_voxels, dtype=jnp.int32) < nvalid
-    return jnp.where(live[:, None], T, 0.0)
+    # Unreached rows come back zeroed (kernel contract) — NaN-safe for the
+    # masked BN that consumes this.
+    return sorted_segment_weighted_sum(g_s, w_s, ids_sorted, num_voxels,
+                                       precise=precise)
 
 
 def _voxmean_sum_fwd(pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted,
-                     num_voxels):
+                     num_voxels, precise):
     out = _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted,
-                            num_voxels)
+                            num_voxels, precise)
     return out, (pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted)
 
 
-def _voxmean_sum_bwd(num_voxels, res, dout):
+def _voxmean_sum_bwd(num_voxels, precise, res, dout):
     pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted = res
     # Adjoint of the masked segment-sum is a plain gather in original point
     # order: d pt_feats[n] = valid[n] * dout[vox(n)].
@@ -363,18 +364,19 @@ def devox_plan(hier, level):
     return DevoxPlan(hier.vox0_point_idx, ids_sorted, nbr_neg)
 
 
-@jax.custom_vjp
-def _devox3(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _devox3(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg,
+            precise):
     return _devox_impl(vox_feats, corner_idx, corner_w)
 
 
 def _devox3_fwd(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted,
-                nbr_neg):
+                nbr_neg, precise):
     return (_devox_impl(vox_feats, corner_idx, corner_w),
             (vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg))
 
 
-def _devox3_bwd(res, dout):
+def _devox3_bwd(precise, res, dout):
     from fusiontransformer_tpu.ops.pallas.segment_sum import (
         sorted_segment_weighted_sum)
 
@@ -384,7 +386,8 @@ def _devox3_bwd(res, dout):
     # Per-corner tables over the sorted point stream (Pallas, scatter-free).
     g_s = pad_row(dout)[sort_perm]
     w_s = pad_row(corner_w.astype(jnp.float32))[sort_perm]
-    T = sorted_segment_weighted_sum(g_s, w_s, ids_sorted, V)   # [V, 8C]
+    T = sorted_segment_weighted_sum(g_s, w_s, ids_sorted, V,
+                                    precise=precise)   # [V, 8C]
     # Mirror gathers: dvox[u] = sum_e T[nbr(u,-e), eC:(e+1)C].  One flat
     # gather of 8 C-wide rows per voxel; sentinel neighbors masked to zero
     # (their T rows are unwritten).
@@ -405,7 +408,8 @@ def _devox3_bwd(res, dout):
 _devox3.defvjp(_devox3_fwd, _devox3_bwd)
 
 
-def devoxelize_trilinear(vox_feats, corner_idx, corner_w, plan=None):
+def devoxelize_trilinear(vox_feats, corner_idx, corner_w, plan=None,
+                         compute_dtype=jnp.bfloat16):
     """Trilinear voxel->point interpolation (``spdevoxelize`` equivalent).
 
     Args:
@@ -415,14 +419,16 @@ def devoxelize_trilinear(vox_feats, corner_idx, corner_w, plan=None):
         ``calc_ti_weights``; no renormalization).
       plan: optional DevoxPlan; when given, the backward pass runs the
         scatter-free Pallas sorted-segment kernel (~10x faster than XLA's
-        autodiff scatter on v5e) instead of autodiff.
+        autodiff scatter on v5e) instead of autodiff.  ``compute_dtype`` f32
+        keeps the kernel's contributions un-rounded (true f32 parity).
     Returns:
       [N, C] float32.
     """
     if plan is None:
         return _devox_impl(vox_feats, corner_idx, corner_w)
     return _devox3(vox_feats, corner_idx, corner_w,
-                   plan.sort_perm, plan.ids_sorted, plan.nbr_neg)
+                   plan.sort_perm, plan.ids_sorted, plan.nbr_neg,
+                   compute_dtype == jnp.float32)
 
 
 def gather_rows(feats, idx):

@@ -86,21 +86,38 @@ def main():
     logger.info("Loaded configuration file %s", args.config_file)
     logger.info("Running with config:\n%s", cfg)
 
-    if args.use_torchpack or args.distributed:
-        from fusiontransformer_tpu.modules.DistributedTrainer import (
-            DistributedTrainer)
-        trainer = DistributedTrainer(cfg, output_dir, run_name)
-        trainer.train()
-    elif args.use_torchpack_test:
-        from fusiontransformer_tpu.modules.DistributedTrainer import (
-            DistributedTrainer)
-        trainer = DistributedTrainer(cfg, output_dir, run_name)
-        trainer.test()
-    else:
-        from fusiontransformer_tpu.modules.SemanticTrainer import (
-            SemanticTrainer)
-        trainer = SemanticTrainer(cfg, output_dir, run_name)
-        trainer.train()
+    # Crash hook (reference ``train.py:98-105``): on exception, finish the
+    # wandb run so partial metrics upload, and — with FT_DEBUG=1 — drop into
+    # the post-mortem debugger (pdb; ipdb when available) instead of dying.
+    try:
+        if args.use_torchpack or args.distributed:
+            from fusiontransformer_tpu.modules.DistributedTrainer import (
+                DistributedTrainer)
+            trainer = DistributedTrainer(cfg, output_dir, run_name)
+            trainer.train()
+        elif args.use_torchpack_test:
+            from fusiontransformer_tpu.modules.DistributedTrainer import (
+                DistributedTrainer)
+            trainer = DistributedTrainer(cfg, output_dir, run_name)
+            trainer.test()
+        else:
+            from fusiontransformer_tpu.modules.SemanticTrainer import (
+                SemanticTrainer)
+            trainer = SemanticTrainer(cfg, output_dir, run_name)
+            trainer.train()
+    except Exception:
+        logger.exception("training crashed")
+        from fusiontransformer_tpu.utils import wandb_stub as wandb
+        wandb.finish()
+        if os.environ.get("FT_DEBUG"):
+            import sys
+            try:
+                import ipdb as debugger
+            except ImportError:
+                import pdb as debugger
+            debugger.post_mortem(sys.exc_info()[2])
+        else:
+            raise
 
 
 if __name__ == "__main__":

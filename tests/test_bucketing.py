@@ -87,3 +87,34 @@ def test_train_step_serves_multiple_buckets():
         assert int(np.asarray(metrics["voxel_overflow"])) == 0
         losses.append(loss)
     assert len(losses) == 2
+
+
+def test_derived_ladder_covers_fresh_draws():
+    """Bucket ladders must come from measured scan-size distributions and
+    hold with zero overflow on fresh draws (VERDICT r1 #6).
+
+    Derives a ladder from 64 jittered synthetic scans, then replays a
+    disjoint 640-scan sample (10x, i.e. beyond p99.8 of the fit sample's
+    resolution) through the recommendation and asserts no scan overflows
+    its bucket's per-level capacities.
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from derive_buckets import measure, recommend, verify_zero_overflow
+
+    from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+
+    fit_ds = SyntheticSCN(split=("train",), num_scans=64, num_points=4096,
+                          point_count_jitter=0.5, seed=0)
+    stats = measure(fit_ds, 64, num_levels=5)
+    rec = recommend(stats, percentiles=(60, 85, 100), headroom=1.15)
+    assert len(rec["buckets"]) >= 2, rec["buckets"]
+    assert rec["point_capacity"] == max(rec["buckets"])
+    assert verify_zero_overflow(stats, rec) == 0
+
+    test_ds = SyntheticSCN(split=("val",), num_scans=640, num_points=4096,
+                           point_count_jitter=0.5, seed=7)
+    fresh = measure(test_ds, 640, num_levels=5)
+    assert verify_zero_overflow(fresh, rec) == 0

@@ -50,3 +50,57 @@ def test_net2dseg_resnet_unet(rng):
     out = model.apply(variables, data, train=False)
     assert out["seg_logit"].shape == (cap, 20)
     assert np.isfinite(np.asarray(out["seg_logit"])).all()
+
+
+def _legacy_cfg(config_name):
+    import os
+
+    from fusiontransformer_tpu.train import load_cfg
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "semantic_kitti", config_name)
+    cfg = load_cfg(path, [
+        "TPU.POINT_CAPACITY", "512",
+        "DATASET.SyntheticSCN.num_scans", "2",
+        "DATASET.SyntheticSCN.num_points", "300",
+        "DATASET.SyntheticSCN.image_height", "48",
+        "DATASET.SyntheticSCN.image_width", "64",
+        "TRAIN.BATCH_SIZE", "2",
+    ])
+    return cfg
+
+
+def _one_step(cfg):
+    """Factory -> init -> one jitted train step, as the CLI would run it."""
+    import optax
+
+    from fusiontransformer_tpu.data.build import build_dataloader
+    from fusiontransformer_tpu.models.build import build_model
+    from fusiontransformer_tpu.modules.SemanticTrainer import init_train_state
+    from fusiontransformer_tpu.modules.steps import (_device_batch,
+                                                     make_train_step)
+
+    model = build_model(cfg)[0]
+    tx = optax.adam(1e-4)
+    state = init_train_state(cfg, model, tx, cfg.TRAIN.BATCH_SIZE)
+    step, _ = make_train_step(cfg, model, tx, cfg.TRAIN.BATCH_SIZE)
+    batch = _device_batch(next(iter(build_dataloader(cfg, mode="train"))))
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    return metrics
+
+
+def test_legacy_scn_lidar_config_trains():
+    """UNetSCN reachable from the CLI (VERDICT r1 #10)."""
+    m = _one_step(_legacy_cfg("legacy_scn_lidar.yaml"))
+    assert "seg_loss_3d" in m
+
+
+def test_legacy_resnet_image_config_trains():
+    m = _one_step(_legacy_cfg("legacy_resnet_image.yaml"))
+    assert "seg_loss_2d" in m
+
+
+def test_legacy_xmuda_config_trains():
+    m = _one_step(_legacy_cfg("legacy_xmuda.yaml"))
+    assert "seg_loss_2d" in m and "seg_loss_3d" in m and "xm_loss_2d" in m

@@ -95,3 +95,103 @@ def test_deit_conversion_parity(rng):
         np.testing.assert_allclose(np.asarray(ours[str(i)]),
                                    theirs[str(i)].numpy(),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _hf_deit_to_timm_sd(hf_model):
+    """Re-express an HF DeiT state dict in timm 0.4.9's key layout.
+
+    The genuine ``deit_base_distilled_patch16_384`` file (reference
+    ``models/transformers.py:79-100``, timm==0.4.9 in ``setup.py:13``) uses
+    fused ``blocks.i.attn.qkv`` weights, ``cls_token``/``dist_token``/
+    ``pos_embed`` (order cls, dist, patches) and ``head``/``head_dist``
+    classifier keys.  HuggingFace's independently-written DeiT stores the
+    same pretrained tensors under split q/k/v and renamed modules — mapping
+    HF -> timm here gives a REAL-layout checkpoint backed by an independent
+    torch implementation to verify the converter against (VERDICT r1 #3).
+    """
+    import torch
+
+    hf = dict(hf_model.state_dict())
+    sd = {
+        "cls_token": hf["deit.embeddings.cls_token"],
+        "dist_token": hf["deit.embeddings.distillation_token"],
+        "pos_embed": hf["deit.embeddings.position_embeddings"],
+        "patch_embed.proj.weight":
+            hf["deit.embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            hf["deit.embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": hf["deit.layernorm.weight"],
+        "norm.bias": hf["deit.layernorm.bias"],
+        # classifier keys a real timm file carries; converter must skip them
+        "head.weight": hf["cls_classifier.weight"],
+        "head.bias": hf["cls_classifier.bias"],
+        "head_dist.weight": hf["distillation_classifier.weight"],
+        "head_dist.bias": hf["distillation_classifier.bias"],
+    }
+    i = 0
+    while f"deit.encoder.layer.{i}.layernorm_before.weight" in hf:
+        p = f"deit.encoder.layer.{i}."
+        t = f"blocks.{i}."
+        sd[t + "norm1.weight"] = hf[p + "layernorm_before.weight"]
+        sd[t + "norm1.bias"] = hf[p + "layernorm_before.bias"]
+        sd[t + "norm2.weight"] = hf[p + "layernorm_after.weight"]
+        sd[t + "norm2.bias"] = hf[p + "layernorm_after.bias"]
+        # timm fuses qkv: cat along the output dim in q, k, v order.
+        sd[t + "attn.qkv.weight"] = torch.cat(
+            [hf[p + "attention.attention.query.weight"],
+             hf[p + "attention.attention.key.weight"],
+             hf[p + "attention.attention.value.weight"]], dim=0)
+        sd[t + "attn.qkv.bias"] = torch.cat(
+            [hf[p + "attention.attention.query.bias"],
+             hf[p + "attention.attention.key.bias"],
+             hf[p + "attention.attention.value.bias"]], dim=0)
+        sd[t + "attn.proj.weight"] = hf[p + "attention.output.dense.weight"]
+        sd[t + "attn.proj.bias"] = hf[p + "attention.output.dense.bias"]
+        sd[t + "mlp.fc1.weight"] = hf[p + "intermediate.dense.weight"]
+        sd[t + "mlp.fc1.bias"] = hf[p + "intermediate.dense.bias"]
+        sd[t + "mlp.fc2.weight"] = hf[p + "output.dense.weight"]
+        sd[t + "mlp.fc2.bias"] = hf[p + "output.dense.bias"]
+        i += 1
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_convert_real_timm_layout_full_resolution():
+    """Forward parity vs an INDEPENDENT torch DeiT at the real checkpoint
+    layout, full DeiT-B/384 shapes, f32 (VERDICT r1 #3 acceptance)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import DeiTConfig, DeiTForImageClassificationWithTeacher
+
+    from fusiontransformer_tpu.models.vit import VisionTransformer2D
+    from fusiontransformer_tpu.utils.torch_convert import convert_deit_to_vit2d
+
+    torch.manual_seed(0)
+    config = DeiTConfig(image_size=384, patch_size=16, hidden_size=768,
+                        num_hidden_layers=12, num_attention_heads=12,
+                        intermediate_size=3072, layer_norm_eps=1e-6,
+                        hidden_act="gelu", num_labels=4)
+    hf = DeiTForImageClassificationWithTeacher(config).eval()
+    # Random init is ~N(0, 0.02) everywhere -> activations stay O(1) through
+    # 12 blocks, a fair numerics regime for parity.
+    sd = _hf_deit_to_timm_sd(hf)
+    assert sd["pos_embed"].shape == (1, 578, 768)
+    assert sd["blocks.0.attn.qkv.weight"].shape == (2304, 768)
+
+    params = convert_deit_to_vit2d(sd)
+    assert "head" not in params and "norm" not in params  # skipped keys
+
+    img = np.random.RandomState(1).randn(1, 384, 384, 3).astype(np.float32)
+    model = VisionTransformer2D(compute_dtype=jnp.float32)
+    variables = {"params": params}
+    outs = jax.jit(lambda v, x: model.apply(v, x))(variables, jnp.asarray(img))
+
+    with torch.no_grad():
+        hf_out = hf.deit(torch.from_numpy(img).permute(0, 3, 1, 2),
+                         output_hidden_states=True)
+    # hidden_states[i+1] is block i's output (pre final-norm residual
+    # stream); strip the cls/dist tokens like forward_blocks does.
+    for i in (0, 5, 11):
+        ref = hf_out.hidden_states[i + 1][:, 2:, :].numpy()
+        got = np.asarray(outs[str(i)])
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

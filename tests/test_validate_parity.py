@@ -84,8 +84,10 @@ def test_map_sparse_to_org_truncated_scan():
 
     preds = np.array([5, 6, 7], np.int32)          # 3 kept voxels
     inverse_map = np.array([0, 1, 2, 2, 3, 4], np.int64)  # 5 uniques, 2 dropped
-    out = map_sparse_to_org(preds, inverse_map)
+    out, n_oob = map_sparse_to_org(preds, inverse_map)
     np.testing.assert_array_equal(out, [5, 6, 7, 7, 0, 0])
+    assert n_oob == 2
     # No-drop fast path unchanged.
-    out = map_sparse_to_org(preds, np.array([2, 0, 1, 1], np.int64))
+    out, n_oob = map_sparse_to_org(preds, np.array([2, 0, 1, 1], np.int64))
     np.testing.assert_array_equal(out, [7, 5, 6, 6])
+    assert n_oob == 0

@@ -76,6 +76,15 @@ def bench_family(name):
     state = init_train_state(cfg, model, tx, BATCH)
     estep = jax.jit(make_eval_step(cfg, model, BATCH)[0])
 
+    flops = None
+    try:
+        ca = estep.lower(state, batch).compile().cost_analysis()
+        if ca:
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     out = estep(state, batch)
     _ = np.asarray(out["pred_ensemble" if use_fusion else (
         "pred_3d" if use_lidar else "pred_2d")][:1])
@@ -86,8 +95,12 @@ def bench_family(name):
         "pred_3d" if use_lidar else "pred_2d")
     _ = np.asarray(outs[-1][key][:1])
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name}: {BATCH/dt:.2f} scans/s ({dt*1e3:.1f} ms/batch of {BATCH})",
-          flush=True)
+    mfu = ""
+    if flops:
+        mfu = (f", {flops/BATCH/1e9:.1f} GFLOP/scan, "
+               f"MFU {100.0*flops/dt/197e12:.2f}%")
+    print(f"{name}: {BATCH/dt:.2f} scans/s ({dt*1e3:.1f} ms/batch of "
+          f"{BATCH}{mfu})", flush=True)
     return BATCH / dt
 
 

@@ -87,6 +87,15 @@ def main():
     step = jax.jit(step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
+    flops = None
+    try:
+        ca = step.lower(state, batch, rng).compile().cost_analysis()
+        if ca:
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     t0 = time.time()
     state, metrics = step(state, batch, rng)
     np.asarray(metrics["total_loss"])  # force completion (axon quirk)
@@ -102,8 +111,12 @@ def main():
         state, metrics = step(state, batch, rng)
     np.asarray(metrics["total_loss"])
     dt = (time.time() - t0) / n
+    mfu = ""
+    if flops:
+        mfu = (f"  {flops/BATCH/1e9:.1f} GFLOP/scan"
+               f"  MFU {100.0*flops/dt/197e12:.2f}%")
     print(f"train step: {dt*1e3:.1f} ms/step  "
-          f"{BATCH/dt:.2f} scans/s (batch {BATCH})")
+          f"{BATCH/dt:.2f} scans/s (batch {BATCH}){mfu}")
 
 
 if __name__ == "__main__":
