@@ -100,7 +100,10 @@ def build(mode):
     return run
 
 
-def summarize(outdir):
+def summarize(outdir, steps=3):
+    """Aggregate device op time by HLO category and by source file:line
+    (the trace events carry ``source`` attribution and picosecond device
+    durations — far more actionable than raw fusion numbers)."""
     files = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
@@ -110,33 +113,38 @@ def summarize(outdir):
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # Device-side complete events: group by name prefix (fusion name).
     pid_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
-    totals = defaultdict(float)
-    counts = defaultdict(int)
-    device_total = 0.0
+    by_src = defaultdict(float)
+    by_cat = defaultdict(float)
+    total = 0.0
     for e in events:
-        if e.get("ph") != "X":
+        if e.get("ph") != "X" or not e.get("args"):
             continue
         pname = pid_names.get(e.get("pid"), "")
         if "TPU" not in pname and "Device" not in pname:
             continue
-        # skip top-level module spans (they contain the op spans)
-        name = e.get("name", "")
-        dur = e.get("dur", 0) / 1e3  # ms
-        if name.startswith("jit_") or "XLA Modules" in pname:
+        if "XLA Modules" in pname or e.get("name", "").startswith("jit_"):
             continue
-        totals[name] += dur
-        counts[name] += 1
-        device_total += dur
+        a = e["args"]
+        dur = float(a.get("device_duration_ps", e.get("dur", 0) * 1e6)) / 1e9
+        rel = a.get("source", "?")
+        if "/fusiontransformer_tpu/" in rel:
+            rel = rel.split("/fusiontransformer_tpu/")[-1]
+        by_src[rel] += dur
+        by_cat[a.get("hlo_category", "?")] += dur
+        total += dur
     print(f"\ntrace: {path}")
-    print(f"device op time total: {device_total:.2f} ms (over capture)\n")
-    top = sorted(totals.items(), key=lambda kv: -kv[1])[:45]
-    for name, ms in top:
-        print(f"{ms:9.3f} ms  x{counts[name]:<4d} {name[:110]}")
+    print(f"device op time: {total:.1f} ms / {steps} steps "
+          f"= {total/steps:.2f} ms/step\n")
+    print("by HLO category (ms/step):")
+    for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {v/steps:8.3f}  {k}")
+    print("\nby source (ms/step):")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:35]:
+        print(f"  {v/steps:8.3f}  {k}")
 
 
 def main():
