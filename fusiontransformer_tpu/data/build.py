@@ -22,18 +22,19 @@ DATASETS = {
 
 
 def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
-                     world_size=1, seed=0):
+                     world_size=1, seed=0, batch_size=None):
     assert mode in ("train", "val", "test")
     dataset_cfg = cfg.DATASET
     split = tuple(dataset_cfg[mode.upper()])
     is_train = mode == "train"
 
-    if is_train:
-        batch_size = cfg.TRAIN.BATCH_SIZE
-    elif mode == "test":
-        batch_size = cfg.TEST.BATCH_SIZE
-    else:
-        batch_size = cfg.VAL.BATCH_SIZE
+    if batch_size is None:
+        if is_train:
+            batch_size = cfg.TRAIN.BATCH_SIZE
+        elif mode == "test":
+            batch_size = cfg.TEST.BATCH_SIZE
+        else:
+            batch_size = cfg.VAL.BATCH_SIZE
 
     kwargs = dict(dataset_cfg.get(dataset_cfg.TYPE, {}))
     augmentation = dict(kwargs.pop("augmentation", {}))

@@ -35,7 +35,8 @@ from fusiontransformer_tpu.modules.steps import (_device_batch,
                                                  make_eval_step,
                                                  make_train_step)
 from fusiontransformer_tpu.parallel.data_parallel import (
-    initialize_distributed, make_mesh, replicate, shard_train_step)
+    initialize_distributed, make_mesh, replicate, shard_batch,
+    shard_train_step)
 from fusiontransformer_tpu.utils.metric_logger import MetricLogger
 
 
@@ -46,10 +47,28 @@ class DistributedTrainer(SemanticTrainer):
 
         n_dev = cfg.TPU.NUM_DEVICES or jax.device_count()
         self.mesh = make_mesh(n_dev)
-        bs = cfg.TRAIN.BATCH_SIZE
+        self.nproc = jax.process_count()
+        self.rank = jax.process_index()
+        bs = cfg.TRAIN.BATCH_SIZE        # GLOBAL batch (all hosts)
         assert bs % n_dev == 0, (
             f"TRAIN.BATCH_SIZE={bs} must divide the mesh size {n_dev}")
         self.scans_per_device = bs // n_dev
+
+        if self.nproc > 1:
+            # Per-host input pipeline (DistributedSampler equivalent): each
+            # process loads bs/nproc scans; shard_batch stacks the local
+            # shards into the global data-axis array.  Per-rank epoch seed
+            # offset mirrors TorchpackInterface.py:59-62.
+            assert bs % self.nproc == 0, (bs, self.nproc)
+            self.train_dataloader = build_dataloader(
+                cfg, mode="train", use_distributed=True, rank=self.rank,
+                world_size=self.nproc, seed=self.rank,
+                batch_size=bs // self.nproc)
+            # Validation: every process evaluates the FULL val set with the
+            # base single-device eval step (identical inputs -> identical
+            # metrics on every rank; only rank 0 logs/saves).  Sharded eval
+            # across hosts would leave predictions non-addressable.
+            self.steps_per_epoch = max(1, len(self.train_dataloader))
 
         step_fn, self.level_caps = make_train_step(
             cfg, self.model, self.tx, self.scans_per_device,
@@ -57,7 +76,8 @@ class DistributedTrainer(SemanticTrainer):
         self.train_step_fn = shard_train_step(step_fn, self.mesh,
                                               self.scans_per_device)
         # Eval runs single-device unless the val batch divides the mesh.
-        if cfg.VAL.BATCH_SIZE % n_dev == 0 and cfg.VAL.BATCH_SIZE >= n_dev:
+        if (self.nproc == 1 and cfg.VAL.BATCH_SIZE % n_dev == 0
+                and cfg.VAL.BATCH_SIZE >= n_dev):
             from fusiontransformer_tpu.parallel.data_parallel import (
                 shard_eval_step)
             eval_fn, _ = make_eval_step(cfg, self.model,
@@ -67,9 +87,17 @@ class DistributedTrainer(SemanticTrainer):
         self.state = replicate(self.state, self.mesh)
 
     # ------------------------------------------------------------------ #
+    def _to_device(self, batch):
+        return shard_batch(_device_batch(batch), self.mesh)
+
+    # ------------------------------------------------------------------ #
     def update_checkpoint(self, epoch):
         """Best-IoU saver with MaxSaver-compatible naming
-        (TorchpackCallbacks.py:245-274)."""
+        (TorchpackCallbacks.py:245-274).  Rank 0 writes; other hosts hold
+        identical replicated state (MaxSaver runs on master only,
+        TorchpackCallbacks.py:252)."""
+        if getattr(self, "rank", 0) != 0:
+            return
         if any(self.best_metric_epoch.get(m) == epoch
                for m in self.modalities):
             extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step)}

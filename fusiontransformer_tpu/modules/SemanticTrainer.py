@@ -169,6 +169,11 @@ class SemanticTrainer:
                 if k not in ("params", "batch_stats", "opt_state", "step")}
 
     # ------------------------------------------------------------------ #
+    def _to_device(self, batch):
+        """Array-only device view of a collated batch; the distributed
+        trainer overrides this to form mesh-sharded (multi-host) arrays."""
+        return _device_batch(batch)
+
     def train_for_one_epoch(self, epoch):
         from tqdm import tqdm
 
@@ -182,7 +187,7 @@ class SemanticTrainer:
                           desc=f"training for epoch {epoch}",
                           total=len(self.train_dataloader), leave=False):
             self._rng, step_rng = jax.random.split(self._rng)
-            dev_batch = _device_batch(batch)
+            dev_batch = self._to_device(batch)
             self._last_batch, self._last_rng = dev_batch, step_rng
             self.state, metrics = self.train_step_fn(
                 self.state, dev_batch, step_rng)

@@ -355,8 +355,12 @@ def build_hierarchy(coords, batch_idx, valid,
         cols = jnp.asarray(_CORNER_TOP_COLS, jnp.int32)
         for l in need_pt:
             cap = level_caps[l]
-            cn = _pad_rows(nbr_by_level[l], cap)[anc_by_level[l]]  # [N, 27]
-            idx8 = cn[:, cols]
+            # Slice the 8 corner columns BEFORE the [N]-row gather: [*, 27]
+            # s32 rows pad to 128 lanes, so gathering the full nbr row moved
+            # 4.7x dead lanes per row (profiled ~0.6 ms/step at bench
+            # shapes); the [V, 8] pre-slice is a one-time small copy.
+            nbr8 = nbr_by_level[l][:, cols]
+            idx8 = _pad_rows(nbr8, cap)[anc_by_level[l]]           # [N, 8]
             idx8 = jnp.where(valid[:, None], idx8, cap)
             w8 = _corner_weights(coords, l)
             w8 = jnp.where(idx8 == cap, 0.0, w8)

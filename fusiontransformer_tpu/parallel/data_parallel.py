@@ -36,15 +36,30 @@ def make_mesh(num_devices: int = 0) -> Mesh:
 
 
 def initialize_distributed():
-    """Multi-host bring-up: call once per process when JAX_COORDINATOR is set.
+    """Multi-host bring-up: call once per process when JAX_COORDINATOR_ADDRESS
+    is set.  Replaces ``torchpack dist-run -np N`` (MPI): processes rendezvous
+    at the coordinator and every host sees one global device mesh.
 
-    Replaces `torchpack dist-run -np N` (MPI); JAX discovers peers via the
-    coordinator address and exposes all chips in one global mesh.
+    Launch (one process per host)::
+
+        JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=N \
+        JAX_PROCESS_ID=<rank> python -m fusiontransformer_tpu.train ...
+
+    On TPU pods, JAX auto-detects num_processes/process_id from the runtime,
+    so only the coordinator address is required; the explicit env vars serve
+    CPU/GPU clusters and the 2-process launcher test.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def _localize_scan_ids(batch, scans_per_device: int):
@@ -92,13 +107,48 @@ def shard_eval_step(step_fn, mesh: Mesh, scans_per_device: int):
     return run
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    return jax.process_count() > 1 and len(mesh.devices.ravel()) > len(
+        jax.local_devices())
+
+
 def replicate(tree, mesh: Mesh):
-    """Place a pytree replicated across the mesh."""
+    """Place a pytree replicated across the mesh.
+
+    Multi-host: every process holds the same host value (same RNG init /
+    same checkpoint), so each builds its local shards via
+    ``make_array_from_callback`` — the collective-free way to form a
+    replicated global array.
+    """
     sharding = jax.sharding.NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if not _spans_processes(mesh):
+        return jax.device_put(tree, sharding)
+
+    def place(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place array leaves with leading-dim sharding over the data axis."""
+    """Place array leaves with leading-dim sharding over the data axis.
+
+    Multi-host: each process passes its LOCAL scans (the per-process
+    dataloader shard); the global array stacks them along the data axis in
+    process order (DistributedSampler equivalent).
+    """
+    if not _spans_processes(mesh):
+        sharding = jax.sharding.NamedSharding(mesh, P("data"))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
     sharding = jax.sharding.NamedSharding(mesh, P("data"))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    nproc = jax.process_count()
+
+    def place(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return {k: place(v) for k, v in batch.items()}

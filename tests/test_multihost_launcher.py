@@ -1,0 +1,170 @@
+"""Multi-host launcher bring-up test: 2 REAL processes, one coordinator.
+
+The reference's only multi-process artifact is ``torchpack dist-run -np 2``
+(``torchpack_run.sh:3``) — MPI spawn + NCCL init, never testable without
+GPUs.  Here the equivalent (``parallel.data_parallel.initialize_distributed``
+-> ``jax.distributed.initialize``) is exercised for real: two OS processes
+rendezvous at a local coordinator on the CPU backend, form a global 4-device
+mesh (2 hosts x 2 local devices), and run a shard_map psum whose result
+proves cross-process reduction.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_CHILD = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+sys.path.insert(0, os.environ["FTX_REPO"])
+
+from fusiontransformer_tpu.parallel.data_parallel import (
+    initialize_distributed, make_mesh)
+
+initialize_distributed()   # reads JAX_COORDINATOR_ADDRESS etc.
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()          # global
+assert len(jax.local_devices()) == 2
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+mesh = make_mesh()          # all 4 global devices on the 'data' axis
+pid = jax.process_index()
+
+# Each host contributes its process index + local position; the psum over
+# the global axis must see every device's value.
+local = np.array([[10.0 * pid + 1.0], [10.0 * pid + 2.0]], np.float32)
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local, (4, 1))
+
+def f(x):
+    return jax.lax.psum(x.sum(), "data")
+
+out = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("data"),
+                            out_specs=P()))(garr)
+total = float(np.asarray(out))
+assert total == 1.0 + 2.0 + 11.0 + 12.0, total
+print(f"proc {pid}: global psum {total} OK", flush=True)
+"""
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="local TCP rendezvous")
+def test_two_process_launcher_psum(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "FTX_REPO": repo,
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        # A fresh interpreter per "host": no inherited backends.
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _CHILD], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: global psum 26.0 OK" in out, out
+
+
+_CHILD_TRAIN = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+sys.path.insert(0, os.environ["FTX_REPO"])
+
+import numpy as np
+from fusiontransformer_tpu.parallel.data_parallel import (
+    initialize_distributed, make_mesh, replicate, shard_batch,
+    shard_train_step)
+
+initialize_distributed()
+pid = jax.process_index()
+assert jax.device_count() == 4
+
+from __graft_entry__ import _make_batch, _tiny_cfg, _tiny_model
+from fusiontransformer_tpu.modules.SemanticTrainer import init_train_state
+from fusiontransformer_tpu.modules.steps import make_train_step
+from fusiontransformer_tpu.solver.build import build_optimizer
+
+cfg = _tiny_cfg(batch_size=4, point_capacity=256, img_h=37, img_w=61)
+model = _tiny_model(cfg, vit_depth=2)
+tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+state = init_train_state(cfg, model, tx, 1, rng_seed=0)
+
+mesh = make_mesh(4)
+step_fn, _ = make_train_step(cfg, model, tx, 1, axis_name="data")
+train_step = shard_train_step(step_fn, mesh, scans_per_device=1)
+
+# Each process loads ITS OWN half of the global batch (2 scans), with a
+# per-process dataset seed so the halves differ — the real per-host input
+# pipeline shape.
+local_cfg = cfg.clone(); local_cfg.defrost()
+local_cfg.DATASET.SyntheticSCN.seed = 100 * pid
+local_cfg.TRAIN.BATCH_SIZE = 2
+local_cfg.freeze()
+local = _make_batch(local_cfg, 2)
+
+state = replicate(state, mesh)
+gbatch = shard_batch(local, mesh)
+new_state, metrics = train_step(state, gbatch, jax.random.PRNGKey(0))
+loss = float(np.asarray(jax.device_get(metrics["total_loss"])))
+assert np.isfinite(loss), loss
+# Updated params are replicated -> every host sees identical values.
+leaf = np.asarray(jax.device_get(
+    jax.tree_util.tree_leaves(new_state.params)[0])).ravel()[:3]
+print(f"proc {pid}: loss {loss:.6f} leaf {np.round(leaf, 6).tolist()} OK",
+      flush=True)
+"""
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="local TCP rendezvous")
+def test_two_process_train_step():
+    """Full DP train step across 2 real processes: per-host data shards,
+    cross-process gradient pmean, replicated update (the torchpack
+    ``dist-run -np 2`` path, SURVEY §2.3)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "FTX_REPO": repo,
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _CHILD_TRAIN], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: loss" in out, out
+    # Same pmean'd loss and same updated params on both hosts.
+    l0 = outs[0].split("loss ")[1].split(" ")[0]
+    l1 = outs[1].split("loss ")[1].split(" ")[0]
+    assert l0 == l1, (l0, l1)
+    leaf0 = outs[0].split("leaf ")[1].split(" OK")[0]
+    leaf1 = outs[1].split("leaf ")[1].split(" OK")[0]
+    assert leaf0 == leaf1, (leaf0, leaf1)
