@@ -135,12 +135,16 @@ def build_flagship(batch_size):
     # not occupancy, so tight caps are a direct throughput win.
     cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
+    # Compact conv tap slots stay OFF: the binned-slot path measured 36.8
+    # scans/s vs 38.5 dense here (see ops/sparse_conv.py binned-slot notes
+    # and ROADMAP — the rebinning pass eats the 27/K gather-row saving).
     caps = level_caps_from_cfg(cfg, batch_size)
+    tap_slots = tuple(cfg.TPU.CONV_TAP_SLOTS)
 
     @jax.jit
     def _init(batch):
         hier = build_hierarchy(batch["coords"], batch["pt_batch"],
-                               batch["pt_valid"], caps)
+                               batch["pt_valid"], caps, tap_slots=tap_slots)
         return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
 
     t0 = time.time()
@@ -151,7 +155,7 @@ def build_flagship(batch_size):
     @jax.jit
     def forward(variables, batch):
         hier = build_hierarchy(batch["coords"], batch["pt_batch"],
-                               batch["pt_valid"], caps)
+                               batch["pt_valid"], caps, tap_slots=tap_slots)
         out = model.apply(variables, batch, hier, train=False)
         probs = (jax.nn.softmax(out["img_seg_logit"], -1)
                  + jax.nn.softmax(out["lidar_seg_logit"], -1))
@@ -171,14 +175,18 @@ def build_flagship(batch_size):
 
     @jax.jit
     def overflow(batch):
+        from fusiontransformer_tpu.modules.steps import tap_overflow
         hier = build_hierarchy(batch["coords"], batch["pt_batch"],
-                               batch["pt_valid"], caps)
-        return sum(jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
-                   for l in hier.levels)
+                               batch["pt_valid"], caps, tap_slots=tap_slots)
+        vox = sum(jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
+                  for l in hier.levels)
+        return vox, tap_overflow(hier, tap_slots)
 
-    n_over = int(np.asarray(overflow(batch)))
-    log(f"voxel overflow with caps {caps}: {n_over}")
+    n_over, n_tap = (int(np.asarray(x)) for x in overflow(batch))
+    log(f"voxel overflow with caps {caps}: {n_over}; "
+        f"tap overflow with K {tap_slots}: {n_tap}")
     assert n_over == 0, "bench capacities must be lossless"
+    assert n_tap == 0, "bench tap slots must be lossless"
 
     return forward, variables, batch, flops_per_batch
 

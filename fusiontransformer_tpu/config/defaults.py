@@ -232,6 +232,18 @@ _C.TPU.L0_CAPACITY_FRACTION = 1.0
 # are sized for worst-case sparse clouds; tighten per dataset using the
 # per-step overflow metric (metrics["voxel_overflow"], 0 == lossless).
 _C.TPU.LEVEL_CAPACITY_FRACTIONS = (1.0, 0.9, 0.8, 0.7)
+# Compact conv tap slots per level (K), empty (default) = dense 27-tap
+# gathers.  When set, ks=3 convs gather only the K live source rows per
+# voxel and rebin them tap-major with a one-hot MXU contraction
+# (ops/sparse_conv.py binned-slot path; identical math, 27/K fewer gather
+# rows).  Measured SLOWER than dense on v5e at flagship shapes (the
+# rebinning pass eats the row saving — see the binned-slot notes there);
+# kept as an option for hardware where gather rows dominate bandwidth.
+# Live taps beyond K are DROPPED and counted in the per-step
+# `tap_overflow` metric — size K like the capacities (measured max +
+# headroom; tools/derive_buckets.py reports tap-count percentiles).
+# 0 at a level = dense path there.
+_C.TPU.CONV_TAP_SLOTS = ()
 # Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.

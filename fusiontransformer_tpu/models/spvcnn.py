@@ -45,11 +45,12 @@ class SubMConv3(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, nbr_idx):
+    def __call__(self, x, nbr_idx, slot_idx=None):
         cin = x.shape[-1]
         w = self.param("kernel", torch_uniform_init(cin * 27),
                        (27, cin, self.features))
-        return sc.subm_conv3(x, w, nbr_idx, self.compute_dtype)
+        return sc.subm_conv3(x, w, nbr_idx, self.compute_dtype,
+                             slot_idx=slot_idx)
 
 
 class DownConv2(nn.Module):
@@ -99,12 +100,12 @@ class ResidualBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, nbr_idx, mask, train: bool):
+    def __call__(self, x, nbr_idx, mask, train: bool, slot_idx=None):
         cin = x.shape[-1]
-        h = SubMConv3(self.features, self.compute_dtype)(x, nbr_idx)
+        h = SubMConv3(self.features, self.compute_dtype)(x, nbr_idx, slot_idx)
         h = MaskedBatchNorm(out_dtype=self.compute_dtype)(h, mask, train)
         h = nn.relu(h)
-        h = SubMConv3(self.features, self.compute_dtype)(h, nbr_idx)
+        h = SubMConv3(self.features, self.compute_dtype)(h, nbr_idx, slot_idx)
         h = MaskedBatchNorm(out_dtype=self.compute_dtype)(h, mask, train)
         if cin == self.features:
             shortcut = x
@@ -163,10 +164,12 @@ class SPVCNN(nn.Module):
         x0 = sc.gather_rows(pt_feats, hier.vox0_point_idx)
 
         # ---- stem @ L0 (models/spvcnn.py:98-102)
-        x0 = SubMConv3(cs[0], cdt, name="stem0")(x0, L[0].nbr_idx)
+        x0 = SubMConv3(cs[0], cdt, name="stem0")(x0, L[0].nbr_idx,
+                                                 L[0].slot_idx)
         x0 = MaskedBatchNorm(out_dtype=cdt, name="stem0_bn")(x0, masks[0], train)
         x0 = nn.relu(x0)
-        x0 = SubMConv3(cs[0], cdt, name="stem1")(x0, L[0].nbr_idx)
+        x0 = SubMConv3(cs[0], cdt, name="stem1")(x0, L[0].nbr_idx,
+                                                 L[0].slot_idx)
         x0 = MaskedBatchNorm(out_dtype=cdt, name="stem1_bn")(x0, masks[0], train)
         x0 = nn.relu(x0)
 
@@ -198,9 +201,9 @@ class SPVCNN(nn.Module):
             h = MaskedBatchNorm(out_dtype=cdt, name=f"stage{i+1}_down_bn")(h, masks[i + 1], train)
             h = nn.relu(h)
             h = ResidualBlock(out_feats[i], cdt, name=f"stage{i+1}_res1")(
-                h, lvl.nbr_idx, masks[i + 1], train)
+                h, lvl.nbr_idx, masks[i + 1], train, lvl.slot_idx)
             h = ResidualBlock(out_feats[i], cdt, name=f"stage{i+1}_res2")(
-                h, lvl.nbr_idx, masks[i + 1], train)
+                h, lvl.nbr_idx, masks[i + 1], train, lvl.slot_idx)
             xs[i + 1] = h
             skips[i + 1] = h
             feats_in = h
@@ -227,9 +230,11 @@ class SPVCNN(nn.Module):
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[3]], axis=-1)
         y = ResidualBlock(cs[5], cdt, name="up1_res1")(y, L[3].nbr_idx,
-                                                       masks[3], train)
+                                                       masks[3], train,
+                                                       L[3].slot_idx)
         y = ResidualBlock(cs[5], cdt, name="up1_res2")(y, L[3].nbr_idx,
-                                                       masks[3], train)
+                                                       masks[3], train,
+                                                       L[3].slot_idx)
 
         y = UpConv2(cs[6], cdt, name="up2_deconv")(
             y, L[2].parent_idx, L[2].child_kidx, L[3].child_idx)
@@ -237,9 +242,11 @@ class SPVCNN(nn.Module):
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[2]], axis=-1)
         y = ResidualBlock(cs[6], cdt, name="up2_res1")(y, L[2].nbr_idx,
-                                                       masks[2], train)
+                                                       masks[2], train,
+                                                       L[2].slot_idx)
         y = ResidualBlock(cs[6], cdt, name="up2_res2")(y, L[2].nbr_idx,
-                                                       masks[2], train)
+                                                       masks[2], train,
+                                                       L[2].slot_idx)
 
         # ---- z2 = v2p(y2) + PT1(z1)
         z2 = sc.devoxelize_trilinear(y, hier.pt_corner_idx[2],
@@ -260,9 +267,11 @@ class SPVCNN(nn.Module):
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[1]], axis=-1)
         y = ResidualBlock(cs[7], cdt, name="up3_res1")(y, L[1].nbr_idx,
-                                                       masks[1], train)
+                                                       masks[1], train,
+                                                       L[1].slot_idx)
         y = ResidualBlock(cs[7], cdt, name="up3_res2")(y, L[1].nbr_idx,
-                                                       masks[1], train)
+                                                       masks[1], train,
+                                                       L[1].slot_idx)
 
         y = UpConv2(cs[8], cdt, name="up4_deconv")(
             y, L[0].parent_idx, L[0].child_kidx, L[1].child_idx)
@@ -270,9 +279,11 @@ class SPVCNN(nn.Module):
         y = nn.relu(y)
         y = jnp.concatenate([y, skips[0]], axis=-1)
         y = ResidualBlock(cs[8], cdt, name="up4_res1")(y, L[0].nbr_idx,
-                                                       masks[0], train)
+                                                       masks[0], train,
+                                                       L[0].slot_idx)
         y = ResidualBlock(cs[8], cdt, name="up4_res2")(y, L[0].nbr_idx,
-                                                       masks[0], train)
+                                                       masks[0], train,
+                                                       L[0].slot_idx)
 
         # ---- z3 = v2p(y4) + PT2(z2) — identity gather at stride 1.
         z3 = sc.gather_rows(y, hier.pt_sorted_pos)

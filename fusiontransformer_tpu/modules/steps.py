@@ -81,6 +81,29 @@ def level_caps_from_cfg(cfg, batch_size: int):
     return level_caps_for_n(cfg, batch_size * cfg.TPU.POINT_CAPACITY)
 
 
+
+def _hier_from_cfg(cfg, batch):
+    """Hierarchy sized from the batch's (static) buffer, with the cfg's
+    compact conv-tap slots when enabled."""
+    ts = tuple(cfg.TPU.CONV_TAP_SLOTS) if "CONV_TAP_SLOTS" in cfg.TPU else ()
+    return build_hierarchy(
+        batch["coords"], batch["pt_batch"], batch["pt_valid"],
+        level_caps_for_n(cfg, batch["coords"].shape[0]), tap_slots=ts)
+
+
+def tap_overflow(hier, tap_slots):
+    """Live ks3 taps dropped by the compact K-slot conv maps (0 = lossless,
+    like voxel_overflow for capacities)."""
+    total = 0
+    for lvl, k in zip(hier.levels, tap_slots):
+        if not k:
+            continue
+        cap = lvl.valid.shape[0]
+        live = jnp.sum((lvl.nbr_idx < cap).astype(jnp.int32), axis=1)
+        total += jnp.sum(jnp.maximum(live - k, 0))
+    return total
+
+
 def _losses(cfg, out, batch, class_weights):
     """Reference SemanticTrainer loss semantics (CE + lambda*KL per stream)."""
     valid = batch["pt_valid"]
@@ -154,10 +177,7 @@ def make_train_step(cfg, model, tx, batch_size: int,
     def step(state: TrainState, batch, rng):
         # Capacities follow the batch's (static) buffer size, so bucketed
         # batches each get right-sized voxel arrays via one retrace/bucket.
-        hier = (build_hierarchy(
-            batch["coords"], batch["pt_batch"], batch["pt_valid"],
-            level_caps_for_n(cfg, batch["coords"].shape[0]))
-                if use_lidar else None)
+        hier = _hier_from_cfg(cfg, batch) if use_lidar else None
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -178,6 +198,10 @@ def make_train_step(cfg, model, tx, batch_size: int,
             metrics["voxel_overflow"] = sum(
                 jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
                 for l in hier.levels)
+            ts = (tuple(cfg.TPU.CONV_TAP_SLOTS)
+                  if "CONV_TAP_SLOTS" in cfg.TPU else ())
+            if any(ts):
+                metrics["tap_overflow"] = tap_overflow(hier, ts)
         cms = _confusions(cfg, out, batch)
 
         if axis_name is not None:
@@ -204,10 +228,7 @@ def make_grads_fn(cfg, model, batch_size: int):
     use_lidar = cfg.MODEL.USE_LIDAR
 
     def grads(state: TrainState, batch, rng):
-        hier = (build_hierarchy(
-            batch["coords"], batch["pt_batch"], batch["pt_valid"],
-            level_caps_for_n(cfg, batch["coords"].shape[0]))
-                if use_lidar else None)
+        hier = _hier_from_cfg(cfg, batch) if use_lidar else None
 
         def loss_fn(params):
             out, _ = model.apply(
@@ -234,10 +255,7 @@ def make_eval_step(cfg, model, batch_size: int,
     use_lidar = cfg.MODEL.USE_LIDAR
 
     def step(state: TrainState, batch):
-        hier = (build_hierarchy(
-            batch["coords"], batch["pt_batch"], batch["pt_valid"],
-            level_caps_for_n(cfg, batch["coords"].shape[0]))
-                if use_lidar else None)
+        hier = _hier_from_cfg(cfg, batch) if use_lidar else None
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, hier, train=False)

@@ -69,6 +69,14 @@ class Level(NamedTuple):
     child_idx: Optional[jnp.ndarray]   # [V, 8] int32 into level l-1 (None at l=0)
     parent_idx: Optional[jnp.ndarray]  # [V] int32 into level l+1 (None at last)
     child_kidx: Optional[jnp.ndarray]  # [V] int32 in [0, 8) (None at last)
+    # Compact conv slots (optional, see build_hierarchy(tap_slots=...)):
+    # (src [V, K], tap [V, K]) int32 maps of the first K LIVE taps per voxel
+    # (sentinels cap / 27).  LiDAR voxels have <=15 live ks3 neighbors
+    # (measured; surfaces are thin), so K=16 gathers ~1.7x fewer rows than
+    # the dense 27-tap map at identical math — the sparse-conv row reduction
+    # torchsparse gets from its rulebook, without dynamic shapes (binned-slot
+    # path in ops/sparse_conv.py, both passes).
+    slot_idx: Optional[tuple] = None
 
 
 class Hierarchy(NamedTuple):
@@ -209,7 +217,8 @@ def _pad_rows(arr, fill):
 def build_hierarchy(coords, batch_idx, valid,
                     level_caps: Tuple[int, ...],
                     point_levels: Tuple[int, ...] = (0, 2, 4),
-                    full_scale_log2: int = 12) -> Hierarchy:
+                    full_scale_log2: int = 12,
+                    tap_slots: Tuple[int, ...] = ()) -> Hierarchy:
     """Build the full voxel hierarchy + all kernel maps for one batch.
 
     Args:
@@ -321,6 +330,34 @@ def build_hierarchy(coords, batch_idx, valid,
         nbr_by_level[l] = _onehot_select(
             childs.reshape(-1, 64), _NBR_SEL64, c_kidx)
 
+    # ----- compact conv slots (optional) ------------------------------------
+    # Per level: (src, tap) of the first K LIVE taps per voxel, compacted
+    # live-first in tap order by a cumsum + one-hot select (no lax.sort —
+    # ~40 s XLA compile per sort instance).  ks=3 convs then gather K source
+    # rows per voxel instead of 27 (ops/sparse_conv.py binned-slot path);
+    # live taps beyond K are dropped and counted by steps.tap_overflow
+    # (sized so that's 0, like capacities).  Sentinels: src=cap (zero pad
+    # row), tap=27 (all-zero one-hot).
+    slot_by_level = [None] * num_levels
+    if tap_slots:
+        assert len(tap_slots) == num_levels, (tap_slots, num_levels)
+        for l, k_slots in enumerate(tap_slots):
+            if not k_slots:
+                continue
+            cap = level_caps[l]
+            nbr = nbr_by_level[l]                               # [V, 27]
+            live = nbr < cap
+            tap = jax.lax.broadcasted_iota(jnp.int32, nbr.shape, 1)
+            pos = jnp.cumsum(live.astype(jnp.int32), axis=1) - 1
+            pos = jnp.where(live, pos, 27)                      # dead -> no slot
+            sel = (pos[..., None] ==
+                   jnp.arange(k_slots, dtype=jnp.int32)).astype(jnp.int32)
+            hit = jnp.sum(sel, axis=1)                          # [V, K] 0/1
+            src = (jnp.sum(nbr[..., None] * sel, axis=1) * hit
+                   + (1 - hit) * cap)
+            tapk = jnp.sum(tap[..., None] * sel, axis=1) + (1 - hit) * 27
+            slot_by_level[l] = (src, tapk)
+
     out_levels = []
     for l in range(num_levels):
         if l < num_levels - 1:
@@ -328,7 +365,8 @@ def build_hierarchy(coords, batch_idx, valid,
         else:
             p_idx, c_kidx = None, None
         out_levels.append(levels[l]._replace(
-            nbr_idx=nbr_by_level[l], parent_idx=p_idx, child_kidx=c_kidx))
+            nbr_idx=nbr_by_level[l], parent_idx=p_idx, child_kidx=c_kidx,
+            slot_idx=slot_by_level[l]))
 
     # ----- point->voxel containment + trilinear corner maps ----------------
     pt_corner_idx = [None] * num_levels

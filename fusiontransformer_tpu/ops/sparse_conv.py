@@ -108,16 +108,114 @@ def _subm3_bwd(cdt, res, dout):
 _subm3.defvjp(_subm3_fwd, _subm3_bwd)
 
 
-def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16):
+# --------------------------------------------------------------------------- #
+# ks=3 binned-slot path.
+#
+# LiDAR voxels have few live ks3 neighbors (measured max 15/27 on KITTI-like
+# scans — surfaces are thin), and the gather engine is ROW-RATE bound, so the
+# dense 27-tap gather wastes most of its rows on the zero pad row.  The
+# binned path gathers only the K live source rows per voxel FROM THE SMALL
+# [V, C] table (gather rate collapses ~7x once the table exceeds ~0.5M rows —
+# v5e locality cliff, measured; that killed the fat-product-table variant),
+# then rebuilds the tap-major tensor B[v, t, c] = feats[nbr(v, t)] with a
+# one-hot MXU contraction over the K slot axis.  B is bit-identical to the
+# dense gather output (each (v, t) bin receives at most one row, weights are
+# 0/1), so the weight einsums are unchanged — 27/K fewer gather rows at
+# identical math.
+#
+# MEASURED SLOWER end-to-end at flagship shapes (kept as a tested option;
+# default off): the V-batched [K, 27] x [K, C] binning dot runs at ~3% of
+# roofline (tiny contraction dim K), B materializes as a full extra
+# bandwidth pass the dense gather doesn't need, and the voxel-major B
+# layout slows the weight einsum ~7x — 75 ms vs ~29 ms of dense
+# gather+einsum at train-profile shapes; flagship inference 36.8 vs 38.5
+# scans/s.  A gather-only microbench shows 2x, but that fuses the binning
+# dot into a plain reduction, which the real conv cannot.  See ROADMAP
+# "binned-slot conv"; may win on hardware with flat gather rates or a
+# block-diagonal Pallas binning kernel.
+#
+# Backward uses the submanifold mirror symmetry the dense VJP uses
+# (offsets[26-k] == -offsets[k], hence nbr(v, t) = u iff nbr(u, 26-t) = v):
+# dfeats is itself a binned conv of dout through the column-reversed kernel
+# with the SAME slot map, and the binned dout tensor it builds is exactly the
+# per-tap-scattered dout that dW needs — one K-row gather serves both, the
+# exact analogue of the dense backward's single 27-row gather.
+#
+# This is the rulebook row-reduction of torchsparse's CUDA conv (reference
+# models/spvcnn.py:26-75 via spnn.Conv3d) without dynamic shapes; round 1's
+# "hit-compacted" variant died on its variable-length segment reduce, which
+# the fixed-K slot layout eliminates.
+# --------------------------------------------------------------------------- #
+
+def _binned_tap_major(x, src, tap, cdt):
+    """[V, 27, C] tap-major neighbor tensor from K-slot maps.
+
+    src: [V, K] int32 source row per live slot (sentinel V -> zero pad row).
+    tap: [V, K] int32 tap id per live slot (sentinel 27 -> all-zero one-hot).
+    """
+    g = pad_row(x.astype(cdt))[src.T]                       # [K, V, C]
+    onehot = (tap[..., None] ==
+              jnp.arange(27, dtype=tap.dtype)).astype(cdt)  # [V, K, 27]
+    # B[v, t, c] = sum_k onehot[v, k, t] * g[k, v, c]; exact (0/1 weights,
+    # <=1 hit per bin) so cdt output loses nothing vs the dense gather.
+    return jax.lax.dot_general(
+        onehot, g.transpose(1, 0, 2),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=_prec(cdt), preferred_element_type=cdt)   # [V, 27, C]
+
+
+def _subm3_binned_impl(feats, w, src, tap, cdt):
+    b = _binned_tap_major(feats, src, tap, cdt)
+    return jnp.einsum("vkc,kco->vo", b, w.astype(cdt),
+                      precision=_prec(cdt),
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _subm3s(feats, w, src, tap, cdt):
+    return _subm3_binned_impl(feats, w, src, tap, cdt)
+
+
+def _subm3s_fwd(feats, w, src, tap, cdt):
+    return _subm3_binned_impl(feats, w, src, tap, cdt), (feats, w, src, tap)
+
+
+def _subm3s_bwd(cdt, res, dout):
+    feats, w, src, tap = res
+    # bd[u, k, :] = dout[nbr(u, k)] — the mirrored dout, tap-major, from one
+    # K-row gather.  Mirror reversal is applied to w / dw only (tiny), never
+    # to bd (reversing a [V, 27, Co] tensor materializes a full copy).
+    bd = _binned_tap_major(dout, src, tap, cdt)             # [V, 27, Co]
+    # dfeats[u] = sum_k dout[nbr(u, k)] @ W[26-k]^T.
+    dfeats = jnp.einsum("vko,kco->vc", bd, w.astype(cdt)[::-1],
+                        precision=_prec(cdt),
+                        preferred_element_type=jnp.float32).astype(feats.dtype)
+    # dW[26-k] = feats^T @ scattered(dout at offset 26-k) = feats^T @ bd[:, k].
+    dw = jnp.einsum("vc,vko->kco", feats.astype(cdt), bd,
+                    precision=_prec(cdt),
+                    preferred_element_type=jnp.float32)[::-1].astype(w.dtype)
+    return dfeats, dw, _float0(src), _float0(tap)
+
+
+_subm3s.defvjp(_subm3s_fwd, _subm3s_bwd)
+
+
+def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16, slot_idx=None):
     """ks=3 stride=1 sparse conv.
 
     Args:
       feats: [V, Cin] float.
       w: [27, Cin, Cout] kernel (offset order per ops.hierarchy docstring).
       nbr_idx: [V, 27] int32 from Level.nbr_idx (sentinel V).
+      slot_idx: optional (src [V, K], tap [V, K]) compact slot maps
+        (Level.slot_idx); when given, both passes run the binned K-row
+        gather path above instead of dense 27-row gathers.
     Returns:
       [V, Cout] float32.
     """
+    if slot_idx is not None:
+        src, tap = slot_idx
+        return _subm3s(feats, w, src, tap, compute_dtype)
     return _subm3(feats, w, nbr_idx, compute_dtype)
 
 

@@ -263,3 +263,78 @@ def test_level0_capacity_below_point_buffer(rng):
     zt = sc.gather_rows(ot, tight.pt_sorted_pos)
     np.testing.assert_allclose(np.asarray(zt)[valid], np.asarray(zf)[valid],
                                atol=1e-4)
+
+
+def test_subm_conv3_slots_matches_dense(rng):
+    """Compact K-slot forward == dense 27-tap conv (values AND grads).
+
+    K covers every voxel's live-tap count here, so the paths must agree
+    exactly up to f32 summation order (the slots path sums live taps in
+    live-first order).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fusiontransformer_tpu.ops import sparse_conv as sc
+    from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+    cap = 256
+    coords = np.zeros((cap, 3), np.int32)
+    batch = np.zeros((cap,), np.int32)
+    valid = np.zeros((cap,), bool)
+    pts = np.unique(rng.randint(0, 24, size=(300, 3)), axis=0)[:200]
+    coords[:len(pts)] = pts
+    valid[:len(pts)] = True
+
+    caps = (cap, 192, 128)
+    hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5, 6))(
+        coords, batch, valid, caps, (0,), 12, (16, 16, 16))
+    lvl = hier.levels[0]
+    live = np.asarray((lvl.nbr_idx < cap).sum(axis=1))
+    assert live.max() <= 16, live.max()   # K covers this scene
+
+    cin, cout = 24, 40
+    feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+
+    dense = sc.subm_conv3(feats, w, lvl.nbr_idx, jnp.float32)
+    slots = sc.subm_conv3(feats, w, lvl.nbr_idx, jnp.float32,
+                          slot_idx=lvl.slot_idx)
+    np.testing.assert_allclose(np.asarray(slots), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_dense(f, ww):
+        return (sc.subm_conv3(f, ww, lvl.nbr_idx, jnp.float32) ** 2).sum()
+
+    def loss_slots(f, ww):
+        return (sc.subm_conv3(f, ww, lvl.nbr_idx, jnp.float32,
+                              slot_idx=lvl.slot_idx) ** 2).sum()
+
+    gd = jax.grad(loss_dense, argnums=(0, 1))(feats, w)
+    gs = jax.grad(loss_slots, argnums=(0, 1))(feats, w)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_tap_overflow_counts_dropped_live_taps(rng):
+    """K below a voxel's live-tap count is counted by steps.tap_overflow."""
+    import jax
+
+    from fusiontransformer_tpu.modules.steps import tap_overflow
+    from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+
+    cap = 128
+    coords = np.zeros((cap, 3), np.int32)
+    batch = np.zeros((cap,), np.int32)
+    valid = np.zeros((cap,), bool)
+    # A solid 4x4x4 block: interior voxels have the full 27 live taps.
+    pts = np.array([(x, y, z) for x in range(4) for y in range(4)
+                    for z in range(4)], np.int32)
+    coords[:len(pts)] = pts
+    valid[:len(pts)] = True
+    hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5, 6))(
+        coords, batch, valid, (cap, 128), (0,), 12, (8, 0))
+    n_over = int(np.asarray(tap_overflow(hier, (8, 0))))
+    live = np.asarray((hier.levels[0].nbr_idx < cap).sum(axis=1))
+    assert n_over == int(np.maximum(live - 8, 0).sum()) > 0

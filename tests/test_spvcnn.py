@@ -88,3 +88,36 @@ def test_batch_independence(rng):
     np.testing.assert_allclose(base[sel0], pert[sel0], rtol=1e-5, atol=1e-5)
     sel1 = (batch == 1) & valid
     assert np.abs(base[sel1] - pert[sel1]).max() > 1e-3
+
+
+def test_train_step_with_tap_slots(rng):
+    """Full train step with compact conv slots: finite loss, tap_overflow
+    metric present and zero at covering K."""
+    import jax
+    import optax
+
+    from fusiontransformer_tpu.data.build import build_dataloader
+    from fusiontransformer_tpu.models.build import build_model
+    from fusiontransformer_tpu.modules.SemanticTrainer import init_train_state
+    from fusiontransformer_tpu.modules.steps import (_device_batch,
+                                                     make_train_step)
+    from fusiontransformer_tpu.train import load_cfg
+    import os
+
+    cfg = load_cfg(os.path.join(os.path.dirname(__file__), "..", "configs",
+                                "semantic_kitti", "synthetic.yaml"),
+                   ["TPU.POINT_CAPACITY", "1024",
+                    "TPU.CONV_TAP_SLOTS", "(16, 16, 16, 16, 16)",
+                    "DATASET.SyntheticSCN.num_scans", "2",
+                    "DATASET.SyntheticSCN.num_points", "800",
+                    "DATASET.SyntheticSCN.image_height", "48",
+                    "DATASET.SyntheticSCN.image_width", "64",
+                    "TRAIN.BATCH_SIZE", "2"])
+    model = build_model(cfg)[0]
+    tx = optax.adam(1e-4)
+    state = init_train_state(cfg, model, tx, 2)
+    step, _ = make_train_step(cfg, model, tx, 2)
+    batch = _device_batch(next(iter(build_dataloader(cfg, mode="train"))))
+    _, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(np.asarray(metrics["tap_overflow"])) == 0

@@ -73,7 +73,8 @@ def main():
     @jax.jit
     def _init(batch):
         hier = build_hierarchy(batch["coords"], batch["pt_batch"],
-                               batch["pt_valid"], caps)
+                               batch["pt_valid"], caps,
+                               tap_slots=tuple(cfg.TPU.CONV_TAP_SLOTS))
         return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
 
     t0 = time.time()
