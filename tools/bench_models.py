@@ -19,7 +19,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BATCH = 1
+BATCH = int(os.environ.get("FT_BENCH_BATCH", "1"))
 POINTS = 18_000
 CAPACITY = 20_480
 
