@@ -8,9 +8,11 @@ over camera-visible boxes (background = len(classes)); writes one pickle per
 split: ``{points, seg_labels, points_img, lidar_path, camera_path, boxes,
 sample_token, scene_name, calib}``.
 
-Requires the ``nuscenes-devkit`` (only for reading the dataset DB — the
-projection math itself is our numpy implementation).  Import is deferred so
-the rest of the package works without the devkit installed.
+The ``nuscenes-devkit`` is only needed to construct the ``nusc`` DB object
+(deferred import in ``main``); all geometry — projection, box membership,
+detection-class mapping — is implemented natively (``projection.py``,
+``boxes.py``), so ``preprocess()`` itself runs against any duck-typed DB
+(hermetic tests fabricate one).
 """
 
 from __future__ import annotations
@@ -37,14 +39,8 @@ def _class_names_to_id():
 
 def preprocess(nusc, split_names, root_dir, out_dir, keyword=None,
                keyword_action=None, subset_name=None, location=None):
-    try:
-        from nuscenes.eval.detection.utils import category_to_detection_name
-        from nuscenes.utils.geometry_utils import points_in_box
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "NuScenes preprocessing needs the nuscenes-devkit; install it in "
-            "your data-prep environment (it is not a runtime dependency of "
-            "the framework)") from e
+    from fusiontransformer_tpu.data.nuscenes.boxes import (
+        category_to_detection_name, points_in_box)
 
     assert not (bool(keyword) and bool(location))
     if keyword:

@@ -47,11 +47,18 @@ def build(mode):
     from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
 
     cfg = get_default_cfg()
-    cfg.MODEL.TYPE = "MiddleFusionTransformer"
-    cfg.MODEL.USE_FUSION = True
-    cfg.MODEL.USE_LIDAR = True
-    cfg.MODEL.USE_IMAGE = True
-    cfg.MODEL.DUAL_HEAD = True
+    if mode.endswith("2d"):
+        cfg.MODEL.TYPE = "ImageSegBilinear"
+        cfg.MODEL.USE_FUSION = False
+        cfg.MODEL.USE_LIDAR = False
+        cfg.MODEL.USE_IMAGE = True
+        cfg.MODEL.DUAL_HEAD = False
+    else:
+        cfg.MODEL.TYPE = "MiddleFusionTransformer"
+        cfg.MODEL.USE_FUSION = True
+        cfg.MODEL.USE_LIDAR = True
+        cfg.MODEL.USE_IMAGE = True
+        cfg.MODEL.DUAL_HEAD = True
     cfg.MODEL.middle_feat_block_number = 5
     cfg.MODEL.late_feat_block_number = 11
     cfg.TRAIN.FusionTransformer.lambda_xm = 0.1
@@ -72,9 +79,11 @@ def build(mode):
 
     @jax.jit
     def _init(batch):
-        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
-                               batch["pt_valid"], caps,
-                               tap_slots=tuple(cfg.TPU.CONV_TAP_SLOTS))
+        hier = None
+        if not mode.endswith("2d"):
+            hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                                   batch["pt_valid"], caps,
+                                   tap_slots=tuple(cfg.TPU.CONV_TAP_SLOTS))
         return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
 
     variables = jax.block_until_ready(_init(batch))
@@ -82,7 +91,7 @@ def build(mode):
     state = TrainState(params, variables.get("batch_stats", {}),
                        tx.init(params), jnp.zeros((), jnp.int32))
 
-    if mode == "train":
+    if mode.startswith("train"):
         step, _ = make_train_step(cfg, model, tx, BATCH)
         step = jax.jit(step)
         rng = jax.random.PRNGKey(1)
@@ -95,9 +104,11 @@ def build(mode):
         estep, _ = make_eval_step(cfg, model, BATCH)
         estep = jax.jit(estep)
 
+        pred_key = "pred_2d" if mode.endswith("2d") else "pred_ensemble"
+
         def run():
             out = estep(state, batch)
-            np.asarray(out["pred_ensemble"][:1])
+            np.asarray(out[pred_key][:1])
     return run
 
 
