@@ -42,8 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_RETIRE_CHUNKS = (512, 256, 128, 64, 32, 16, 8)
+
+
 def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
-            *, nb, wr, srows, e_cols, c, mxu_dtype):
+            *, nb, wr, srows, e_cols, c, mxu_dtype, nblocks):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -52,13 +55,43 @@ def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
 
     base = pl.multiple_of(base_ref[b], 8)
     prev_base = base_ref[jnp.maximum(b - 1, 0)]
-    # Carry: rows the stream has passed are final (already written by the
-    # previous block); live rows shift down by the window advance.  A jump
-    # past the whole window (e.g. into the padding tail) must read zeros —
-    # rows [wr, srows) are permanently zero and the clamp lands there.
+    # Carry: rows the stream has passed are final; live rows shift down by
+    # the window advance.  A jump past the whole window (e.g. into the
+    # padding tail) must read zeros — rows [wr, srows) are permanently zero
+    # and the clamp lands there.
     shift = jnp.minimum(base - prev_base, srows - wr)
     shift = pl.multiple_of(shift, 8)   # bases are sublane-aligned
     carried = acc_ref[pl.ds(shift, wr), :]
+
+    # Retire the rows the window just passed: ids are nondecreasing, so no
+    # later block can add to them — acc rows [0, min(shift, wr)) hold final
+    # totals for output rows [prev_base, ...).  Writing ONLY these (instead
+    # of the whole window every block) cuts output DMA bytes by the
+    # points-per-voxel factor (~12x at KITTI occupancy, the kernel's write
+    # amplification).  The retire count is 8-aligned and <= wr; decompose it
+    # into power-of-two chunks so every DMA slice has a static size.
+    retire = jnp.minimum(shift, wr)
+    src = jnp.int32(0)
+    rem = retire
+    for size in _RETIRE_CHUNKS:
+        if size > wr:
+            continue
+        take = rem >= size
+
+        @pl.when(take)
+        def _retire(size=size, src=src):
+            src8 = pl.multiple_of(src, 8)          # chunks are 8-multiples
+            dst8 = pl.multiple_of(prev_base + src, 8)
+            dma = pltpu.make_async_copy(
+                acc_ref.at[pl.ds(src8, size), :],
+                out_ref.at[pl.ds(dst8, size), :],
+                sem_ref,
+            )
+            dma.start()
+            dma.wait()
+
+        src = src + jnp.where(take, size, 0)
+        rem = rem - jnp.where(take, size, 0)
 
     # contrib[n, e*C:(e+1)*C] = w[n, e] * g[n, :].  The minor-dim inserts
     # must stay 32-bit (Mosaic limitation); cast the product to mxu_dtype
@@ -80,15 +113,17 @@ def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
 
     acc_ref[pl.ds(0, wr), :] = carried + add
 
-    # Publish the window.  Rows still open carry forward and are re-written
-    # (completed) by a later block; the final writer always has the total.
-    dma = pltpu.make_async_copy(
-        acc_ref.at[pl.ds(0, wr), :],
-        out_ref.at[pl.ds(base, wr), :],
-        sem_ref,
-    )
-    dma.start()
-    dma.wait()
+    # Last block: flush the still-open window (every earlier row has already
+    # been retired exactly once above).
+    @pl.when(b == nblocks - 1)
+    def _flush():
+        dma = pltpu.make_async_copy(
+            acc_ref.at[pl.ds(0, wr), :],
+            out_ref.at[pl.ds(base, wr), :],
+            sem_ref,
+        )
+        dma.start()
+        dma.wait()
 
 
 def sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
@@ -176,10 +211,14 @@ def _sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    # Greedy power-of-two decomposition must cover any 8-aligned retire
+    # count up to wr (each chunk used at most once).
+    assert wr <= sum(s for s in _RETIRE_CHUNKS if s <= wr) + 7, wr
     out = pl.pallas_call(
         functools.partial(_kernel, nb=block, wr=wr, srows=srows,
                           e_cols=e_cols, c=c,
-                          mxu_dtype=jnp.float32 if precise else jnp.bfloat16),
+                          mxu_dtype=jnp.float32 if precise else jnp.bfloat16,
+                          nblocks=nblocks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, e_cols * c), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
