@@ -204,6 +204,14 @@ _C.MODEL.USE_IMAGE = False
 _C.MODEL.USE_LIDAR = False
 _C.MODEL.USE_FUSION = False
 _C.MODEL.IMAGE_PRETRAINED_PATH = ""
+# ViT stream geometry.  Defaults are DeiT-B distilled @384 (the reference
+# hardcodes timm's deit_base_distilled_patch16_384, models/transformers.py);
+# the knobs exist so smaller variants (DeiT-S/Ti) and tests can size down.
+_C.MODEL.VIT_IMG_SIZE = 384
+_C.MODEL.VIT_PATCH = 16
+_C.MODEL.VIT_EMBED_DIM = 768
+_C.MODEL.VIT_DEPTH = 12
+_C.MODEL.VIT_HEADS = 12
 _C.MODEL.middle_feat_block_number = None
 _C.MODEL.late_feat_block_number = None
 
@@ -248,6 +256,13 @@ _C.TPU.CONV_TAP_SLOTS = ()
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.
 _C.TPU.NUM_DEVICES = 0
+# Tensor-parallel ranks for the ViT stream (Megatron head/hidden sharding
+# over a 'model' mesh axis; parallel/tensor_parallel.py).  Composes with
+# data parallelism into a (data, model) mesh: NUM_DEVICES must be a
+# multiple of MODEL_PARALLEL; the data axis gets the quotient.  Requires a
+# ViT-stream model and vit_heads % MODEL_PARALLEL == 0.  Checkpoints stay
+# canonical tp=1 layout (merged on save, re-split on restore).
+_C.TPU.MODEL_PARALLEL = 1
 # Remat (checkpoint) the ViT blocks to save HBM during training.
 _C.TPU.REMAT_VIT = False
 

@@ -34,10 +34,22 @@ def build_metrics(cfg):
     return train_2d, train_3d
 
 
-def build_model(cfg):
+def build_model(cfg, vit_tp=1, vit_tp_axis=None):
+    """``vit_tp > 1`` builds the ViT stream tensor-parallel (Megatron head/
+    hidden sharding over the named ``vit_tp_axis`` mesh axis; see
+    ``parallel/tensor_parallel.py``).  Init/eval/checkpoint always use the
+    canonical tp=1 model — only the sharded train step needs a TP build."""
     cdt = _compute_dtype(cfg)
     h, w = _image_dims(cfg)
     remat = bool(cfg.TPU.REMAT_VIT) if "TPU" in cfg else False
+    vit_kwargs = dict(
+        vit_img_size=cfg.MODEL.get("VIT_IMG_SIZE", 384),
+        vit_patch=cfg.MODEL.get("VIT_PATCH", 16),
+        vit_embed_dim=cfg.MODEL.get("VIT_EMBED_DIM", 768),
+        vit_depth=cfg.MODEL.get("VIT_DEPTH", 12),
+        vit_heads=cfg.MODEL.get("VIT_HEADS", 12),
+        vit_tp=vit_tp, vit_tp_axis=vit_tp_axis,
+    )
     fusion_kwargs = dict(
         num_classes=cfg.MODEL.NUM_CLASSES,
         dual_head=cfg.MODEL.DUAL_HEAD,
@@ -46,7 +58,15 @@ def build_model(cfg):
         if cfg.MODEL.late_feat_block_number is not None else 11,
         image_height=h, image_width=w,
         remat_vit=remat, compute_dtype=cdt,
+        **vit_kwargs,
     )
+    if vit_tp > 1:
+        assert cfg.MODEL.TYPE in ("LateFusionTransformer",
+                                  "MiddleFusionTransformer",
+                                  "EarlyFusionTransformer",
+                                  "ImageSegBilinear"), (
+            f"tensor parallelism requires a ViT-stream model, "
+            f"got {cfg.MODEL.TYPE}")
 
     if cfg.MODEL.USE_FUSION:
         train_2d, train_3d = build_metrics(cfg)
@@ -104,7 +124,8 @@ def build_model(cfg):
                 late_feat_block=cfg.MODEL.late_feat_block_number
                 if cfg.MODEL.late_feat_block_number is not None else 11,
                 image_height=h, image_width=w,
-                remat_vit=remat, compute_dtype=cdt)
+                remat_vit=remat, compute_dtype=cdt,
+                **vit_kwargs)
         return model, SegIoU(num_classes=cfg.MODEL.NUM_CLASSES,
                              name="seg_iou_2d")
 

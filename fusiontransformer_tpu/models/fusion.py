@@ -70,6 +70,8 @@ class FusionTransformerBase(nn.Module):
     vit_embed_dim: int = 768
     vit_depth: int = 12
     vit_heads: int = 12
+    vit_tp: int = 1                      # tensor-parallel ranks for the ViT
+    vit_tp_axis: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -82,7 +84,8 @@ class FusionTransformerBase(nn.Module):
             remat_vit=self.remat_vit,
             vit_img_size=self.vit_img_size, vit_patch=self.vit_patch,
             vit_embed_dim=self.vit_embed_dim, vit_depth=self.vit_depth,
-            vit_heads=self.vit_heads, compute_dtype=self.compute_dtype,
+            vit_heads=self.vit_heads, vit_tp=self.vit_tp,
+            vit_tp_axis=self.vit_tp_axis, compute_dtype=self.compute_dtype,
             name="image_backbone")(
             batch["img"], batch["img_indices"], batch["pt_batch"], train)
 

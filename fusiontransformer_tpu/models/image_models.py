@@ -95,6 +95,8 @@ class Net2DBilinear(nn.Module):
     vit_embed_dim: int = 768
     vit_depth: int = 12
     vit_heads: int = 12
+    vit_tp: int = 1                      # tensor-parallel ranks for the ViT
+    vit_tp_axis: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def _lift(self, tok_feats, img_indices, pt_batch):
@@ -124,6 +126,7 @@ class Net2DBilinear(nn.Module):
                                    depth=self.vit_depth,
                                    num_heads=self.vit_heads,
                                    remat=self.remat_vit,
+                                   tp=self.vit_tp, tp_axis=self.vit_tp_axis,
                                    compute_dtype=self.compute_dtype,
                                    name="backbone")(x)
 
@@ -163,6 +166,13 @@ class ImageSegBilinear(nn.Module):
     image_height: int = 370
     image_width: int = 1226
     remat_vit: bool = False
+    vit_img_size: int = 384
+    vit_patch: int = 16
+    vit_embed_dim: int = 768
+    vit_depth: int = 12
+    vit_heads: int = 12
+    vit_tp: int = 1
+    vit_tp_axis: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -173,6 +183,10 @@ class ImageSegBilinear(nn.Module):
             late_feat_block=self.late_feat_block,
             image_height=self.image_height, image_width=self.image_width,
             remat_vit=self.remat_vit, compute_dtype=self.compute_dtype,
+            vit_img_size=self.vit_img_size, vit_patch=self.vit_patch,
+            vit_embed_dim=self.vit_embed_dim, vit_depth=self.vit_depth,
+            vit_heads=self.vit_heads,
+            vit_tp=self.vit_tp, vit_tp_axis=self.vit_tp_axis,
             name="image_backbone")(
             batch["img"], batch["img_indices"], batch["pt_batch"], train)
         return {"img_seg_logit": preds["img_seg_logit"],

@@ -96,11 +96,18 @@ class MaskedBatchNorm2d(nn.Module):
 
 
 class TorchLinear(nn.Module):
-    """nn.Linear with torch default init."""
+    """nn.Linear with torch default init.
+
+    ``reduce_axis`` makes the layer the row-parallel half of a Megatron
+    tensor-parallel pair: the matmul contracts this rank's input shard, a
+    ``psum`` over the named mesh axis rebuilds the full product, and the
+    (replicated) bias is added after the reduction so it is counted once.
+    """
 
     features: int
     use_bias: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    reduce_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -109,6 +116,10 @@ class TorchLinear(nn.Module):
                        (fan_in, self.features))
         y = jnp.dot(x.astype(self.compute_dtype), w.astype(self.compute_dtype),
                     preferred_element_type=jnp.float32)
+        if self.reduce_axis is not None:
+            from fusiontransformer_tpu.parallel.tensor_parallel import (
+                psum_fwd_identity_bwd)
+            y = psum_fwd_identity_bwd(y, self.reduce_axis)
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
             y = y + b

@@ -20,7 +20,7 @@ accordingly.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -29,17 +29,31 @@ import jax.numpy as jnp
 from fusiontransformer_tpu.models.layers import TorchLinear
 
 
+def _tp_input(x, tp: int, tp_axis):
+    """Megatron ``f`` at a column-parallel region's replicated input."""
+    if tp <= 1:
+        return x
+    from fusiontransformer_tpu.parallel.tensor_parallel import (
+        replicate_fwd_psum_bwd)
+    return replicate_fwd_psum_bwd(x, tp_axis)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    tp: int = 1                          # tensor-parallel ranks (hidden dim)
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = TorchLinear(self.hidden, compute_dtype=self.compute_dtype,
-                        name="fc1")(x)
+        assert self.hidden % self.tp == 0, (self.hidden, self.tp)
+        x = _tp_input(x, self.tp, self.tp_axis)
+        x = TorchLinear(self.hidden // self.tp,
+                        compute_dtype=self.compute_dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = TorchLinear(self.out, compute_dtype=self.compute_dtype,
+                        reduce_axis=self.tp_axis if self.tp > 1 else None,
                         name="fc2")(x)
         return x
 
@@ -48,13 +62,17 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    tp: int = 1                          # tensor-parallel ranks (head dim)
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         b, n, d = x.shape
-        h = self.num_heads
-        hd = d // h
-        qkv = TorchLinear(3 * d, compute_dtype=self.compute_dtype,
+        assert self.num_heads % self.tp == 0, (self.num_heads, self.tp)
+        h = self.num_heads // self.tp    # heads on this rank
+        hd = d // self.num_heads
+        x = _tp_input(x, self.tp, self.tp_axis)
+        qkv = TorchLinear(3 * h * hd, compute_dtype=self.compute_dtype,
                           name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]          # [b, h, n, hd]
@@ -66,8 +84,9 @@ class Attention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.compute_dtype),
                          v.astype(self.compute_dtype),
                          preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
         return TorchLinear(self.dim, compute_dtype=self.compute_dtype,
+                           reduce_axis=self.tp_axis if self.tp > 1 else None,
                            name="proj")(out)
 
 
@@ -76,15 +95,18 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     compute_dtype: jnp.dtype = jnp.bfloat16
+    tp: int = 1
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.compute_dtype,
-                          name="attn")(h)
+                          tp=self.tp, tp_axis=self.tp_axis, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                    self.compute_dtype, name="mlp")(h)
+                    self.compute_dtype, tp=self.tp, tp_axis=self.tp_axis,
+                    name="mlp")(h)
         return x
 
 
@@ -99,6 +121,8 @@ class VisionTransformer2D(nn.Module):
     distilled: bool = True
     remat: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    tp: int = 1                          # tensor-parallel ranks (model axis)
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, images) -> Dict[str, jnp.ndarray]:
@@ -139,6 +163,7 @@ class VisionTransformer2D(nn.Module):
         for i in range(self.depth):
             x = block_cls(self.embed_dim, self.num_heads,
                           compute_dtype=self.compute_dtype,
+                          tp=self.tp, tp_axis=self.tp_axis,
                           name=f"block{i}")(x)
             outputs[str(i)] = x[:, n_prefix:, :]   # strip cls/dist tokens
         return outputs

@@ -46,9 +46,14 @@ class DistributedTrainer(SemanticTrainer):
         super().__init__(cfg, output_dir, run_name)
 
         n_dev = cfg.TPU.NUM_DEVICES or jax.device_count()
-        self.mesh = make_mesh(n_dev)
         self.nproc = jax.process_count()
         self.rank = jax.process_index()
+        self.model_parallel = int(cfg.TPU.MODEL_PARALLEL) \
+            if "MODEL_PARALLEL" in cfg.TPU else 1
+        if self.model_parallel > 1:
+            self._init_tensor_parallel(cfg, n_dev)
+            return
+        self.mesh = make_mesh(n_dev)
         bs = cfg.TRAIN.BATCH_SIZE        # GLOBAL batch (all hosts)
         assert bs % n_dev == 0, (
             f"TRAIN.BATCH_SIZE={bs} must divide the mesh size {n_dev}")
@@ -87,7 +92,69 @@ class DistributedTrainer(SemanticTrainer):
         self.state = replicate(self.state, self.mesh)
 
     # ------------------------------------------------------------------ #
+    def _init_tensor_parallel(self, cfg, n_dev):
+        """2-D (data, model) mesh: Megatron head/hidden sharding of the ViT
+        stream composed with whole-scan data parallelism
+        (``parallel/tensor_parallel.py``).  Init, eval, and checkpoints use
+        the canonical tp=1 layout; only the sharded train step sees the
+        stacked [tp, ...] params."""
+        import functools
+
+        from fusiontransformer_tpu.models.build import build_model
+        from fusiontransformer_tpu.parallel import tensor_parallel as tp_lib
+
+        mp = self.model_parallel
+        assert self.nproc == 1, (
+            "TPU.MODEL_PARALLEL > 1 is single-host for now (model-axis "
+            "collectives must ride ICI, not DCN)")
+        assert n_dev % mp == 0, (
+            f"TPU.NUM_DEVICES={n_dev} must be a multiple of "
+            f"TPU.MODEL_PARALLEL={mp}")
+        data = n_dev // mp
+        bs = cfg.TRAIN.BATCH_SIZE
+        assert bs % data == 0, (
+            f"TRAIN.BATCH_SIZE={bs} must divide the data axis {data}")
+        self.scans_per_device = bs // data
+        self._tp = tp_lib
+        self._tp_heads = int(getattr(self.model, "vit_heads", 12))
+        self.mesh = tp_lib.make_mesh_2d(data, mp)
+
+        model_tp = build_model(cfg, vit_tp=mp, vit_tp_axis="model")[0]
+        self.state = self.state._replace(
+            params=tp_lib.split_params_for_tp(
+                self.state.params, mp, self._tp_heads),
+            opt_state=tp_lib.split_params_for_tp(
+                self.state.opt_state, mp, self._tp_heads))
+        step_fn, self.level_caps = make_train_step(
+            cfg, model_tp, self.tx, self.scans_per_device, axis_name="data")
+        self.train_step_fn = tp_lib.shard_train_step_2d(
+            step_fn, self.mesh, self.scans_per_device)
+
+        # Eval rides the canonical single-device step on merged params;
+        # the merge runs once per validation epoch (params don't change
+        # between eval batches).
+        self._merge_jit = jax.jit(functools.partial(
+            tp_lib.merge_params_from_tp, num_heads=self._tp_heads))
+        self._merged_cache = (None, None)
+        base_eval = self.eval_step_fn
+
+        def eval_merged(state, batch):
+            return base_eval(self._merged_state(state), batch)
+
+        self.eval_step_fn = eval_merged
+
+    def _merged_state(self, state):
+        if self._merged_cache[0] is not state.params:
+            self._merged_cache = (state.params,
+                                  self._merge_jit(state.params))
+        return state._replace(params=self._merged_cache[1])
+
+    # ------------------------------------------------------------------ #
     def _to_device(self, batch):
+        if self.model_parallel > 1:
+            # jit + shard_map's in_specs place the host batch over the data
+            # axis; TP params already carry their stacked rank axis.
+            return _device_batch(batch)
         return shard_batch(_device_batch(batch), self.mesh)
 
     # ------------------------------------------------------------------ #
@@ -105,17 +172,41 @@ class DistributedTrainer(SemanticTrainer):
                 if self.best_metric[m] is not None:
                     extra[f"{m}_{self.best_metric_name}"] = float(
                         self.best_metric[m])
+            params, opt_state = self.state.params, self.state.opt_state
+            if self.model_parallel > 1:
+                # Checkpoints stay TP-degree independent: merge the stacked
+                # shards back to the canonical tp=1 layout.
+                params = self._merge_jit(params)
+                opt_state = self._merge_jit(opt_state)
             self.checkpointer.save(
                 f"max-MeanIoU-{epoch:06d}",
-                tree={"params": self.state.params,
+                tree={"params": params,
                       "batch_stats": self.state.batch_stats,
-                      "opt_state": self.state.opt_state},
+                      "opt_state": opt_state},
                 **extra)
+
+    # ------------------------------------------------------------------ #
+    def update_summary(self, epoch):
+        """TP states carry stacked [tp, ...] leaves; histogram/grad passes
+        run on the canonical merged layout."""
+        if self.model_parallel > 1 and self.cfg.TRAIN.LOG_HISTOGRAM:
+            orig = self.state
+            self.state = self._merged_state(orig)
+            try:
+                super().update_summary(epoch)
+            finally:
+                self.state = orig
+            return
+        super().update_summary(epoch)
 
     # ------------------------------------------------------------------ #
     def test(self, save_predictions=True):
         """Reference ``TorchpackInterface.test()``: restore the newest
         best-IoU checkpoint, evaluate the test split, dump predictions."""
+        if self.model_parallel > 1:
+            # Checkpoints are canonical tp=1 layout; so must the in-memory
+            # fallback state be when no checkpoint exists yet.
+            self.state = self._merged_state(self.state)
         # SaverRestoreIOU: restore newest max-MeanIoU-*.ckpt (:319-335).
         candidates = sorted(
             p for p in os.listdir(self.output_dir)
