@@ -208,6 +208,7 @@ class DistributedTrainer(SemanticTrainer):
             # fallback state be when no checkpoint exists yet.
             self.state = self._merged_state(self.state)
         # SaverRestoreIOU: restore newest max-MeanIoU-*.ckpt (:319-335).
+        self.checkpointer.wait()     # async saves must land before listing
         candidates = sorted(
             p for p in os.listdir(self.output_dir)
             if p.startswith("max-MeanIoU-")) if self.output_dir else []

@@ -117,7 +117,8 @@ class SemanticTrainer:
 
         self.checkpointer = CheckpointerV2(
             save_dir=output_dir, logger=self.logger,
-            max_to_keep=cfg.TRAIN.MAX_TO_KEEP)
+            max_to_keep=cfg.TRAIN.MAX_TO_KEEP,
+            async_save=bool(cfg.TRAIN.get("ASYNC_CHECKPOINT", False)))
         self.checkpoint_data = self._load_checkpoint()
 
         if output_dir:
@@ -349,5 +350,6 @@ class SemanticTrainer:
             if any(self.best_metric_epoch.get(m) == epoch
                    for m in self.modalities):
                 self.update_checkpoint(epoch)
+        self.checkpointer.wait()     # join any in-flight async save
         wandb.finish()
         return self.state

@@ -16,6 +16,7 @@ import logging
 import os
 import os.path as osp
 import shutil
+import threading
 
 import jax
 import numpy as np
@@ -33,12 +34,15 @@ from flax import serialization
 class CheckpointerV2:
     _LAST = "last_checkpoint"
 
-    def __init__(self, save_dir="", logger=None, max_to_keep=100, postfix=""):
+    def __init__(self, save_dir="", logger=None, max_to_keep=100, postfix="",
+                 async_save=False):
         # orbax requires absolute paths; keep relative OUTPUT_DIRs working.
         self.save_dir = osp.abspath(save_dir) if save_dir else save_dir
         self.logger = logger or logging.getLogger(__name__)
         self.max_to_keep = max_to_keep
         self.postfix = postfix
+        self.async_save = async_save
+        self._pending = None             # background writer thread
         self._saved = self._load_manifest_list()
 
     # -- manifest -----------------------------------------------------------
@@ -54,13 +58,30 @@ class CheckpointerV2:
         return []
 
     def has_checkpoint(self):
+        self.wait()
         return bool(self._saved)
 
     def get_checkpoint_file(self):
+        self.wait()
         return self._saved[-1] if self._saved else ""
 
     # -- save/load ----------------------------------------------------------
+    def wait(self):
+        """Join any in-flight async save (no-op when none is pending)."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
     def save(self, name, tree=None, **extra):
+        """Save a checkpoint.
+
+        With ``async_save``, the device->host snapshot still happens HERE
+        (the trainer's donated buffers are reused by the next step, so the
+        arrays must be read before returning); only the multi-minute disk
+        write moves to a background thread.  Saves serialize: a new save
+        joins the previous one first; ``wait()``/``load()`` join too, so
+        readers never observe a half-written newest checkpoint.
+        """
         if not self.save_dir:
             return
         payload = dict(tree or {})
@@ -71,25 +92,38 @@ class CheckpointerV2:
         # flax.serialization.from_state_dict.
         payload = serialization.to_state_dict(payload)
         payload = jax.tree_util.tree_map(np.asarray, payload)
-        if _HAS_ORBAX:
-            ckptr = ocp.PyTreeCheckpointer()
-            if osp.exists(path):
-                shutil.rmtree(path)
-            ckptr.save(path, payload)
-        else:  # pragma: no cover
-            with open(path, "wb") as f:
-                f.write(serialization.to_bytes(payload))
-        self._saved.append(path)
-        self._gc()
-        with open(self._manifest_path(), "w") as f:
-            f.write("\n".join(self._saved))
-        self.logger.info("Saved checkpoint to %s", path)
-        # W&B artifact upload (reference checkpoint.py:62); no-op without wandb.
+        self.wait()
+        if self.async_save:
+            self._pending = threading.Thread(
+                target=self._write, args=(path, payload), daemon=True)
+            self._pending.start()
+        else:
+            self._write(path, payload)
+
+    def _write(self, path, payload):
         try:
-            from fusiontransformer_tpu.utils import wandb_stub as wandb
-            wandb.save(path)
-        except Exception:
-            pass
+            if _HAS_ORBAX:
+                ckptr = ocp.PyTreeCheckpointer()
+                if osp.exists(path):
+                    shutil.rmtree(path)
+                ckptr.save(path, payload)
+            else:  # pragma: no cover
+                with open(path, "wb") as f:
+                    f.write(serialization.to_bytes(payload))
+            self._saved.append(path)
+            self._gc()
+            with open(self._manifest_path(), "w") as f:
+                f.write("\n".join(self._saved))
+            self.logger.info("Saved checkpoint to %s", path)
+            # W&B artifact upload (reference checkpoint.py:62); no-op
+            # without wandb.
+            try:
+                from fusiontransformer_tpu.utils import wandb_stub as wandb
+                wandb.save(path)
+            except Exception:
+                pass
+        except Exception:  # pragma: no cover - surfaced, not swallowed
+            self.logger.exception("Checkpoint write failed: %s", path)
 
     def _gc(self):
         while len(self._saved) > self.max_to_keep:
@@ -105,6 +139,7 @@ class CheckpointerV2:
         ``resume_states=False`` strips optimizer/scheduler state, mirroring
         the reference's RESUME_STATES flag.
         """
+        self.wait()
         if not path and resume and self.has_checkpoint():
             path = self.get_checkpoint_file()
         if not path:

@@ -94,6 +94,27 @@ def test_checkpointer_gc_and_manifest(tmp_path):
     assert "epoch" not in payload2
 
 
+def test_async_checkpointer(tmp_path):
+    """async_save: writes land on a background thread; wait()/load()/
+    has_checkpoint() join it, GC + manifest ordering match the sync path."""
+    import numpy as np
+
+    from fusiontransformer_tpu.utils.checkpoint import CheckpointerV2
+
+    ck = CheckpointerV2(save_dir=str(tmp_path), max_to_keep=2,
+                        async_save=True)
+    for e in range(4):
+        ck.save(f"model{e:06d}", tree={"w": np.full((3,), float(e))},
+                epoch=e)
+    assert ck.has_checkpoint()       # joins the in-flight write
+    kept = sorted(p for p in tmp_path.iterdir() if p.suffix == ".ckpt")
+    assert len(kept) == 2
+    assert ck.get_checkpoint_file().endswith("model000003.ckpt")
+    payload = CheckpointerV2(save_dir=str(tmp_path)).load(resume=True)
+    assert int(payload["epoch"]) == 3
+    np.testing.assert_allclose(payload["w"], 3.0)
+
+
 def test_metric_logger_and_segiou(rng):
     from fusiontransformer_tpu.models.metric import SegIoU
     from fusiontransformer_tpu.utils.metric_logger import MetricLogger
