@@ -30,6 +30,15 @@ FAMILIES = {
     "latefusion": (True, True, True, "LateFusionTransformer"),
     "earlyfusion": (True, True, True, "EarlyFusionTransformer"),
     "middlefusion": (True, True, True, "MiddleFusionTransformer"),
+    # NuScenes flagship shapes (configs/nuscenes/middlefusion.yaml): 5 merged
+    # classes, 400x225 resized front-cam images, 32-beam frustum scans
+    # (~6-8k points vs KITTI's ~18k).
+    "nuscenes_middlefusion": (True, True, True, "MiddleFusionTransformer"),
+}
+
+# Per-family shape overrides: (points, capacity, img_h, img_w, num_classes).
+SHAPES = {
+    "nuscenes_middlefusion": (7_000, 8_192, 225, 400, 5),
 }
 
 
@@ -48,25 +57,32 @@ def bench_family(name):
     import optax
 
     use_lidar, use_image, use_fusion, mtype = FAMILIES[name]
+    points, capacity, img_h, img_w, n_cls = SHAPES.get(
+        name, (POINTS, CAPACITY, 370, 1226, 20))
     cfg = get_default_cfg()
     cfg.MODEL.TYPE = mtype
+    cfg.MODEL.NUM_CLASSES = n_cls
     cfg.MODEL.USE_LIDAR = use_lidar
     cfg.MODEL.USE_IMAGE = use_image
     cfg.MODEL.USE_FUSION = use_fusion
     cfg.MODEL.DUAL_HEAD = use_fusion
+    cfg.DATASET.TYPE = "SyntheticSCN"
+    cfg.DATASET.SyntheticSCN.image_height = img_h
+    cfg.DATASET.SyntheticSCN.image_width = img_w
     if use_fusion or use_image:
         cfg.MODEL.late_feat_block_number = 11
     if mtype in ("MiddleFusionTransformer", "EarlyFusionTransformer"):
         cfg.MODEL.middle_feat_block_number = \
             0 if mtype == "EarlyFusionTransformer" else 5
     cfg.VAL.BATCH_SIZE = BATCH
-    cfg.TPU.POINT_CAPACITY = CAPACITY
+    cfg.TPU.POINT_CAPACITY = capacity
     cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
 
-    ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
-    batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
-                           370, 1226)
+    ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=points,
+                      image_width=img_w, image_height=img_h)
+    batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, capacity,
+                           img_h, img_w)
     batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
                                    "pt_valid", "img", "img_indices")}
     batch = jax.device_put(batch)
