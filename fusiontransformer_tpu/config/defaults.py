@@ -267,6 +267,12 @@ _C.TPU.NUM_DEVICES = 0
 # ViT-stream model and vit_heads % MODEL_PARALLEL == 0.  Checkpoints stay
 # canonical tp=1 layout (merged on save, re-split on restore).
 _C.TPU.MODEL_PARALLEL = 1
+# ZeRO-1: shard optimizer moments 1/n across the data axis
+# (parallel/zero.py).  Optimizer math is bitwise identical; adds one
+# params-sized all_gather per step, saves 2x-params-/n of HBM per chip.
+# Checkpoints stay canonical (merged on save, re-split on restore).
+# Requires MODEL_PARALLEL == 1 and single-host for now.
+_C.TPU.ZERO_OPTIMIZER = False
 # Remat (checkpoint) the ViT blocks to save HBM during training.
 _C.TPU.REMAT_VIT = False
 

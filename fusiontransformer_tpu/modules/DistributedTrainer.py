@@ -75,11 +75,37 @@ class DistributedTrainer(SemanticTrainer):
             # across hosts would leave predictions non-addressable.
             self.steps_per_epoch = max(1, len(self.train_dataloader))
 
-        step_fn, self.level_caps = make_train_step(
-            cfg, self.model, self.tx, self.scans_per_device,
-            axis_name="data")
-        self.train_step_fn = shard_train_step(step_fn, self.mesh,
-                                              self.scans_per_device)
+        self.zero_optimizer = bool(cfg.TPU.ZERO_OPTIMIZER) \
+            if "ZERO_OPTIMIZER" in cfg.TPU else False
+        if self.zero_optimizer and n_dev > 1:
+            # ZeRO-1: optimizer moments sharded 1/n_dev over the data axis
+            # (parallel/zero.py); grads stay pmean'd in the step, the wrapped
+            # tx slices/updates/all_gathers.  State splits AFTER resume (the
+            # checkpoint holds the canonical layout).
+            from fusiontransformer_tpu.parallel import zero as zero_lib
+
+            assert self.nproc == 1, "TPU.ZERO_OPTIMIZER is single-host for now"
+            self._zero = zero_lib
+            import jax.numpy as jnp
+            self._zero_template = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                               jnp.asarray(x).dtype),
+                self.state.opt_state)
+            canonical = self.state.opt_state
+            self.state = self.state._replace(
+                opt_state=zero_lib.split_opt_state(canonical, n_dev))
+            tx_zero = zero_lib.zero1(self.tx, "data", n_dev)
+            step_fn, self.level_caps = make_train_step(
+                cfg, self.model, tx_zero, self.scans_per_device,
+                axis_name="data")
+            self.train_step_fn = zero_lib.shard_train_step_zero1(
+                step_fn, self.mesh, self.scans_per_device, canonical)
+        else:
+            step_fn, self.level_caps = make_train_step(
+                cfg, self.model, self.tx, self.scans_per_device,
+                axis_name="data")
+            self.train_step_fn = shard_train_step(step_fn, self.mesh,
+                                                  self.scans_per_device)
         # Eval runs single-device unless the val batch divides the mesh.
         if (self.nproc == 1 and cfg.VAL.BATCH_SIZE % n_dev == 0
                 and cfg.VAL.BATCH_SIZE >= n_dev):
@@ -107,6 +133,10 @@ class DistributedTrainer(SemanticTrainer):
         assert self.nproc == 1, (
             "TPU.MODEL_PARALLEL > 1 is single-host for now (model-axis "
             "collectives must ride ICI, not DCN)")
+        assert not cfg.TPU.get("ZERO_OPTIMIZER", False), (
+            "TPU.ZERO_OPTIMIZER composes with data parallelism only; "
+            "unset it or MODEL_PARALLEL")
+        self.zero_optimizer = False
         assert n_dev % mp == 0, (
             f"TPU.NUM_DEVICES={n_dev} must be a multiple of "
             f"TPU.MODEL_PARALLEL={mp}")
@@ -178,6 +208,10 @@ class DistributedTrainer(SemanticTrainer):
                 # shards back to the canonical tp=1 layout.
                 params = self._merge_jit(params)
                 opt_state = self._merge_jit(opt_state)
+            elif self.zero_optimizer:
+                # Same for ZeRO: canonical optimizer layout on disk.
+                opt_state = self._zero.merge_opt_state(
+                    opt_state, self._zero_template)
             self.checkpointer.save(
                 f"max-MeanIoU-{epoch:06d}",
                 tree={"params": params,
