@@ -220,6 +220,26 @@ class DistributedTrainer(SemanticTrainer):
                 **extra)
 
     # ------------------------------------------------------------------ #
+    def _save_preemption_checkpoint(self, epoch):
+        """TP/ZeRO states carry sharded layouts; preemption checkpoints stay
+        canonical like every other checkpoint."""
+        if self.model_parallel > 1:
+            merged = self.state._replace(
+                params=self._merge_jit(self.state.params),
+                opt_state=self._merge_jit(self.state.opt_state))
+        elif self.zero_optimizer:
+            merged = self.state._replace(
+                opt_state=self._zero.merge_opt_state(self.state.opt_state,
+                                                     self._zero_template))
+        else:
+            merged = self.state
+        orig, self.state = self.state, merged
+        try:
+            super()._save_preemption_checkpoint(epoch)
+        finally:
+            self.state = orig
+
+    # ------------------------------------------------------------------ #
     def update_summary(self, epoch):
         """TP states carry stacked [tp, ...] leaves; histogram/grad passes
         run on the canonical merged layout."""

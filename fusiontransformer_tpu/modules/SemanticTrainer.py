@@ -215,6 +215,8 @@ class SemanticTrainer:
                 self.train_2d_metric.update_matrix(np.asarray(metrics["cm_2d"]))
             wandb.log({k: float(v) for k, v in host.items()
                        if k.startswith(("seg_loss", "xm_loss"))})
+            if getattr(self, "_preempted", False):
+                return   # SIGTERM: stop at a step boundary, state is intact
         # Per-epoch scheduler step (SemanticTrainer.py:217).
         new_lr = self.lr_schedule((epoch + 1) * self.steps_per_epoch)
         self.state = self.state._replace(
@@ -337,11 +339,57 @@ class SemanticTrainer:
                       "opt_state": self.state.opt_state},
                 **extra)
 
+    # ------------------------------------------------------------------ #
+    def _install_preemption_handler(self):
+        """SIGTERM-safe training (no reference equivalent — preemptible TPU
+        slices get a termination notice as SIGTERM): set a flag, let the
+        current step finish, checkpoint with the CURRENT epoch index (resume
+        re-runs the interrupted epoch), then exit cleanly."""
+        import signal
+        import threading
+
+        self._preempted = False
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def on_sigterm(signum, frame):
+            self._preempted = True
+            self.logger.warning(
+                "SIGTERM received — will checkpoint and stop after the "
+                "current step")
+
+        try:
+            self._prev_sigterm = signal.signal(signal.SIGTERM, on_sigterm)
+        except ValueError:  # pragma: no cover - non-main interpreter
+            pass
+
+    def _save_preemption_checkpoint(self, epoch):
+        """Checkpoint that resumes INTO the interrupted epoch (plain
+        checkpoints store epoch+1 — see update_checkpoint)."""
+        extra = {"epoch": epoch, "step": np.asarray(self.state.step)}
+        for m in self.modalities:
+            if self.best_metric[m] is not None:
+                extra[f"{m}_{self.best_metric_name}"] = float(
+                    self.best_metric[m])
+        self.checkpointer.save(
+            f"preempt{epoch:06d}",
+            tree={"params": self.state.params,
+                  "batch_stats": self.state.batch_stats,
+                  "opt_state": self.state.opt_state},
+            **extra)
+        self.checkpointer.wait()
+        self.logger.warning("Preemption checkpoint written for epoch %d",
+                            epoch)
+
     def train(self):
         max_epoch = int(self.cfg.SCHEDULER.MAX_EPOCH)
+        self._install_preemption_handler()
         for epoch in range(self.start_epoch, max_epoch):
             t0 = time.time()
             self.train_for_one_epoch(epoch)
+            if self._preempted:
+                self._save_preemption_checkpoint(epoch)
+                break
             self.logger.info("Epoch %d took %.1fs", epoch, time.time() - t0)
             self.update_log(epoch)
             self.update_summary(epoch)

@@ -1,0 +1,102 @@
+"""Preemption-safe training: SIGTERM -> step-boundary stop -> resumable
+checkpoint (no reference equivalent; preemptible TPU slices deliver a
+termination notice as SIGTERM).
+
+A REAL subprocess trains a tiny model; the parent waits for the first epoch
+to land, SIGTERMs it, and asserts a clean exit, a ``preempt*.ckpt`` whose
+stored epoch re-runs the interrupted epoch, and that a fresh trainer resumes
+from it.
+"""
+
+import glob
+import os
+import os.path as osp
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+_CHILD = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["FTX_REPO"])
+
+from fusiontransformer_tpu.config.defaults import get_default_cfg
+from fusiontransformer_tpu.modules.SemanticTrainer import SemanticTrainer
+
+out = os.environ["FTX_OUT"]
+cfg = get_default_cfg()
+cfg.MODEL.TYPE = "LidarSeg"
+cfg.MODEL.USE_LIDAR = True
+cfg.DATASET.TYPE = "SyntheticSCN"
+cfg.DATASET.TRAIN = ("train",)
+cfg.DATASET.VAL = ("val",)
+cfg.DATASET.TEST = ("test",)
+cfg.DATASET.SyntheticSCN.num_scans = 2
+cfg.DATASET.SyntheticSCN.num_points = 200
+cfg.DATASET.SyntheticSCN.image_width = 64
+cfg.DATASET.SyntheticSCN.image_height = 32
+cfg.OPTIMIZER.TYPE = "Adam"
+cfg.OPTIMIZER.BASE_LR = 1e-3
+cfg.SCHEDULER.MAX_EPOCH = 1000
+cfg.TRAIN.BATCH_SIZE = 2
+cfg.VAL.BATCH_SIZE = 2
+cfg.VAL.PERIOD = 0               # keep epochs tiny and uniform
+cfg.TPU.POINT_CAPACITY = 256
+cfg.TPU.COMPUTE_DTYPE = "float32"
+cfg.OUTPUT_DIR = out
+cfg.freeze()
+
+trainer = SemanticTrainer(cfg, out, "preempt_run")
+trainer.train()                  # runs until SIGTERM
+print("CHILD_EXITED_CLEANLY", flush=True)
+"""
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="POSIX signals")
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    env = dict(os.environ,
+               FTX_REPO=osp.dirname(osp.dirname(osp.abspath(__file__))),
+               FTX_OUT=str(tmp_path))
+    proc = subprocess.Popen([sys.executable, "-u", "-c", _CHILD], env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        # Wait until at least one full epoch has run (handler installed,
+        # steps flowing), then deliver the preemption notice.  The child's
+        # only console output is the tqdm bar ("training for epoch N"), so
+        # epoch 2 starting proves epochs 0-1 completed.
+        deadline = time.time() + 300
+        saw_epoch = False
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            if "training for epoch 2" in line:
+                saw_epoch = True
+                break
+        assert saw_epoch, "".join(lines[-20:])
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    assert proc.returncode == 0, out[-2000:]
+    assert "CHILD_EXITED_CLEANLY" in out
+    assert "Preemption checkpoint written" in out
+
+    saved = glob.glob(osp.join(str(tmp_path), "preempt*.ckpt"))
+    assert saved, os.listdir(str(tmp_path))
+
+    # The stored epoch re-runs the interrupted one: resume must start at a
+    # valid epoch >= 1 (epoch 0 completed before the signal).
+    from fusiontransformer_tpu.utils.checkpoint import CheckpointerV2
+    payload = CheckpointerV2(save_dir=str(tmp_path)).load(resume=True)
+    assert int(payload["epoch"]) >= 1
+    assert "params" in payload and "opt_state" in payload
