@@ -93,9 +93,13 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
                           image_height=image_height, image_width=image_width,
                           capacity_buckets=buckets)
+    # NUM_WORKERS > 0 forks a worker pool (torch-DataLoader equivalent:
+    # decode/augment/quantize/collate in parallel); 0 keeps a single
+    # prefetch thread so the host still overlaps the device step.
     return DataLoader(dataset, batch_size, collate, shuffle=is_train,
                       drop_last=False, seed=seed + cfg.RNG_SEED,
-                      prefetch=max(1, cfg.DATALOADER.NUM_WORKERS))
+                      prefetch=max(1, cfg.DATALOADER.NUM_WORKERS),
+                      num_workers=cfg.DATALOADER.NUM_WORKERS)
 
 
 class _ShardedView:

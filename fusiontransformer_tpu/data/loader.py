@@ -1,23 +1,54 @@
-"""Minimal batching loader with optional background prefetch.
+"""Minimal batching loader with optional background prefetch + MP workers.
 
 Replaces torch's DataLoader (reference ``data/build.py:79-87``).  The active
 reference configs all use ``NUM_WORKERS: 0`` (synchronous loading), so the
-default here is synchronous too; ``prefetch > 0`` adds a daemon thread that
-keeps up to that many collated batches ready while the TPU step runs —
-host/device overlap without multiprocessing.
+default here is synchronous too.  Two overlap mechanisms, composable with
+the TPU step:
+
+* ``prefetch > 0`` — a daemon thread keeps up to that many collated batches
+  ready while the device step runs (host/device overlap, zero processes).
+* ``num_workers > 0`` — a fork process pool produces batches in parallel
+  (decode + augment + quantize + collate all happen in the worker), the
+  equivalent of torch's ``DataLoader(num_workers=N)`` that the reference
+  relies on for its CPU-bound ``__getitem__`` (pickle + PIL + sparse
+  quantize, reference ``semantic_kitti_dataloader.py:150-253``).  Batch
+  ORDER is deterministic (window-FIFO), and each batch's augmentation RNG
+  is seeded from (loader seed, epoch, batch ordinal) — reproducible
+  regardless of worker count or scheduling (reference ``worker_init_fn``,
+  ``common/utils/torch_util.py:17``).
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
+from collections import deque
 
 import numpy as np
+
+# Worker-process globals, installed once per worker by _worker_init (the
+# dataset/collate close over config only — cheap to fork, expensive to
+# re-pickle per task).
+_G = {}
+
+
+def _worker_init(dataset, collate_fn, base_seed):
+    _G["dataset"] = dataset
+    _G["collate"] = collate_fn
+    _G["base_seed"] = base_seed
+
+
+def _worker_produce(ordinal, idx):
+    # Deterministic per-batch stream: datasets draw augmentations from the
+    # global numpy RNG, so seed it per batch, not per worker.
+    np.random.seed((_G["base_seed"] * 100003 + ordinal) % (2 ** 31 - 1))
+    return _G["collate"]([_G["dataset"][int(i)] for i in idx])
 
 
 class DataLoader:
     def __init__(self, dataset, batch_size, collate_fn, shuffle=False,
-                 drop_last=False, seed=0, prefetch=0):
+                 drop_last=False, seed=0, prefetch=0, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -26,6 +57,7 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset)
@@ -53,8 +85,45 @@ class DataLoader:
     def _produce(self, idx):
         return self.collate_fn([self.dataset[int(i)] for i in idx])
 
+    def _iter_mp(self, batches):
+        """Ordered parallel batch production over a fork pool.
+
+        A bounded submission window (workers + prefetch) caps host memory at
+        ``window`` collated batches in flight; results pop in submission
+        order so iteration order matches the synchronous path.
+        """
+        ctx = multiprocessing.get_context("fork")
+        window = self.num_workers + max(2, self.prefetch)
+        pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                        initargs=(self.dataset, self.collate_fn,
+                                  self.seed + self.epoch))
+        try:
+            pending = deque()
+            it = enumerate(batches)
+
+            def submit():
+                try:
+                    i, idx = next(it)
+                except StopIteration:
+                    return
+                pending.append(
+                    pool.apply_async(_worker_produce, (i, np.asarray(idx))))
+
+            for _ in range(window):
+                submit()
+            while pending:
+                batch = pending.popleft().get()
+                submit()
+                yield batch
+        finally:
+            pool.terminate()
+            pool.join()
+
     def __iter__(self):
         batches = self._index_batches()
+        if self.num_workers > 0:
+            yield from self._iter_mp(batches)
+            return
         if self.prefetch <= 0:
             for idx in batches:
                 yield self._produce(idx)
