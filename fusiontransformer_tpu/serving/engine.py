@@ -92,10 +92,10 @@ class InferenceEngine:
 
     def __init__(self, cfg, params=None, batch_stats=None,
                  checkpoint_path: str = "", batch_size: int = 1,
-                 map_inverse_label=None):
+                 map_inverse_label=None, exported_dir: str = ""):
         self.cfg = cfg
         self.batch_size = int(batch_size)
-        self.model = build_model(cfg)[0]
+        self.model = None if exported_dir else build_model(cfg)[0]
         self.map_inverse_label = map_inverse_label
 
         if params is None:
@@ -121,7 +121,22 @@ class InferenceEngine:
             cfg.TPU.POINT_CAPACITY,)
         self.point_capacity = max(self.buckets)
 
-        self._fn = jax.jit(make_predict_step(cfg, self.model))
+        if exported_dir:
+            # AOT deployment artifact (serving/export.py): per-bucket
+            # deserialized StableHLO programs, no Python tracing at serve
+            # time.  Shapes come from the artifact's manifest.
+            from fusiontransformer_tpu.serving.export import ExportedPredict
+            exported = ExportedPredict(exported_dir)
+            assert exported.batch_size == self.batch_size, (
+                f"artifact exported at batch {exported.batch_size}, "
+                f"engine configured for {self.batch_size}")
+            self.buckets = tuple(sorted(exported.manifest["buckets"]))
+            self.point_capacity = max(self.buckets)
+            self.image_height = int(exported.manifest["image_height"])
+            self.image_width = int(exported.manifest["image_width"])
+            self._fn = exported
+        else:
+            self._fn = jax.jit(make_predict_step(cfg, self.model))
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.counters = {

@@ -40,6 +40,8 @@ def parse_args():
                    help="device batch size (flagship optimum is 1; the 2D-"
                         "only stream benefits from 8)")
     p.add_argument("--preproc-workers", type=int, default=2)
+    p.add_argument("--exported-dir", default="", help="AOT artifact dir from "
+                   "tools/export_model.py (skips Python tracing at startup)")
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--selftest", type=int, default=0, metavar="N",
                    help="run N synthetic scans through the full HTTP stack "
@@ -70,7 +72,8 @@ def main():
 
     if args.ckpt:
         engine = InferenceEngine(cfg, checkpoint_path=args.ckpt,
-                                 batch_size=args.batch)
+                                 batch_size=args.batch,
+                                 exported_dir=args.exported_dir)
     else:
         print("WARNING: no --ckpt, serving a random-init model",
               file=sys.stderr)
@@ -78,7 +81,8 @@ def main():
         state = init_train_state(cfg, model, None, args.batch, cfg.RNG_SEED)
         engine = InferenceEngine(cfg, params=state.params,
                                  batch_stats=state.batch_stats,
-                                 batch_size=args.batch)
+                                 batch_size=args.batch,
+                                 exported_dir=args.exported_dir)
 
     if not args.no_warmup:
         print("warmup (compiling one program per capacity bucket)...",
