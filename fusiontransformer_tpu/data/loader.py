@@ -7,7 +7,7 @@ the TPU step:
 
 * ``prefetch > 0`` — a daemon thread keeps up to that many collated batches
   ready while the device step runs (host/device overlap, zero processes).
-* ``num_workers > 0`` — a fork process pool produces batches in parallel
+* ``num_workers > 0`` — a process pool produces batches in parallel
   (decode + augment + quantize + collate all happen in the worker), the
   equivalent of torch's ``DataLoader(num_workers=N)`` that the reference
   relies on for its CPU-bound ``__getitem__`` (pickle + PIL + sparse
@@ -16,6 +16,13 @@ the TPU step:
   is seeded from (loader seed, epoch, batch ordinal) — reproducible
   regardless of worker count or scheduling (reference ``worker_init_fn``,
   ``common/utils/torch_util.py:17``).
+
+Workers use the ``forkserver`` start method: plain ``fork`` from a live
+JAX/TPU process deadlocks (the child inherits XLA runtime threads' held
+locks — observed as 0-CPU stuck workers when forking mid-suite), while
+forkserver children descend fork+exec from a clean helper process.  The
+price is that (dataset, collate_fn) must be picklable; datasets keep their
+members lambda-free for this.
 """
 
 from __future__ import annotations
@@ -28,8 +35,8 @@ from collections import deque
 import numpy as np
 
 # Worker-process globals, installed once per worker by _worker_init (the
-# dataset/collate close over config only — cheap to fork, expensive to
-# re-pickle per task).
+# dataset/collate close over config only — pickled once per worker, not
+# once per task).
 _G = {}
 
 
@@ -86,13 +93,13 @@ class DataLoader:
         return self.collate_fn([self.dataset[int(i)] for i in idx])
 
     def _iter_mp(self, batches):
-        """Ordered parallel batch production over a fork pool.
+        """Ordered parallel batch production over a forkserver pool.
 
         A bounded submission window (workers + prefetch) caps host memory at
         ``window`` collated batches in flight; results pop in submission
         order so iteration order matches the synchronous path.
         """
-        ctx = multiprocessing.get_context("fork")
+        ctx = multiprocessing.get_context("forkserver")
         window = self.num_workers + max(2, self.prefetch)
         pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                         initargs=(self.dataset, self.collate_fn,

@@ -49,19 +49,30 @@ COLOR_MAP_BGR = {
 NUM_CLASSES = 20
 
 
+class LutMapper:
+    """Vectorized id mapper via LUT.  A class (not a lambda) so datasets
+    holding one stay picklable for spawn/forkserver dataloader workers."""
+
+    def __init__(self, lut):
+        self.lut = lut
+
+    def __call__(self, labels):
+        return self.lut[np.asarray(labels, dtype=np.int64)]
+
+
 def make_label_mapper():
     """Vectorized raw-id -> train-id mapper (np.vectorize equivalent via LUT)."""
     lut = np.zeros(max(LEARNING_MAP) + 1, dtype=np.int64)
     for k, v in LEARNING_MAP.items():
         lut[k] = v
-    return lambda labels: lut[np.asarray(labels, dtype=np.int64)]
+    return LutMapper(lut)
 
 
 def make_inverse_label_mapper():
     lut = np.zeros(NUM_CLASSES, dtype=np.int64)
     for k, v in LEARNING_MAP_INV.items():
         lut[k] = v
-    return lambda labels: lut[np.asarray(labels, dtype=np.int64)]
+    return LutMapper(lut)
 
 
 def class_names():

@@ -47,6 +47,31 @@ def test_mp_loader_is_reproducible_across_worker_counts():
             np.testing.assert_array_equal(va, xb[k], err_msg=k)
 
 
+def test_mp_loader_after_jax_backend_init():
+    """Regression: plain fork from a process with live XLA runtime threads
+    deadlocks (workers inherit held locks and sit at 0 CPU forever); the
+    forkserver pool must work AFTER the backend has run real programs."""
+    import jax.numpy as jnp
+    _ = (jnp.ones((128, 128)) @ jnp.ones((128, 128))).block_until_ready()
+    out = list(_loader(2))
+    assert len(out) == 4
+
+
+def test_mp_loader_kitti_dataset_is_picklable():
+    """KITTI dataset members (label-map LUTs) must survive the worker
+    pickle round-trip (forkserver workers receive the dataset by pickle)."""
+    import pickle
+
+    from fusiontransformer_tpu.data.semantic_kitti.semantic_kitti_dataloader \
+        import SemanticKITTISCN
+
+    ds = SemanticKITTISCN(split=("train",), preprocess_dir="/nonexistent",
+                          debug=False)
+    ds2 = pickle.loads(pickle.dumps(ds))
+    lab = ds2.map_label(np.array([10, 13, 0]))
+    np.testing.assert_array_equal(lab, ds.map_label(np.array([10, 13, 0])))
+
+
 def test_mp_loader_shuffle_epochs():
     ld = _loader(2, shuffle=True)
     e0 = [tuple(b["filename"]) for b in ld]
