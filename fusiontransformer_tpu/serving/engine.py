@@ -82,17 +82,51 @@ def make_predict_step(cfg, model):
     return step
 
 
+def shard_predict_step(step_fn, mesh, scans_per_device: int):
+    """Data-parallel predict over a mesh: whole scans per device, per-point
+    predictions stay sharded (device-local gathers only), the overflow
+    health metric is psum'd.  Same contiguous-scan layout as training DP
+    (``parallel/data_parallel.py``)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fusiontransformer_tpu.parallel.data_parallel import _localize_scan_ids
+
+    def per_device(state, batch):
+        batch = _localize_scan_ids(batch, scans_per_device)
+        res = step_fn(state, batch)
+        overflow = res.pop("voxel_overflow", None)
+        scalars = ({"voxel_overflow": jax.lax.psum(overflow, "data")}
+                   if overflow is not None else {})
+        return res, scalars
+
+    sharded = jax.jit(jax.shard_map(per_device, mesh=mesh,
+                                    in_specs=(P(), P("data")),
+                                    out_specs=(P("data"), P()),
+                                    check_vma=False))
+
+    def run(state, batch):
+        preds, scalars = sharded(state, batch)
+        return {**preds, **scalars}
+
+    return run
+
+
 class InferenceEngine:
     """Owns model variables + per-bucket compiled predict programs.
 
     Thread-safe for concurrent ``predict`` calls (device dispatch is
     serialized on a lock — a single TPU core runs one program at a time
     anyway; host preprocessing runs outside the lock and overlaps).
+
+    ``num_devices > 1`` shards the batch over a ``data`` mesh (whole scans
+    per device): batch_size must be a multiple, and throughput scales with
+    the mesh because every device runs its scans' gathers locally.
     """
 
     def __init__(self, cfg, params=None, batch_stats=None,
                  checkpoint_path: str = "", batch_size: int = 1,
-                 map_inverse_label=None, exported_dir: str = ""):
+                 map_inverse_label=None, exported_dir: str = "",
+                 num_devices: int = 1):
         self.cfg = cfg
         self.batch_size = int(batch_size)
         self.model = None if exported_dir else build_model(cfg)[0]
@@ -121,6 +155,9 @@ class InferenceEngine:
             cfg.TPU.POINT_CAPACITY,)
         self.point_capacity = max(self.buckets)
 
+        assert not (exported_dir and num_devices > 1), (
+            "exported artifacts are single-device; shard with num_devices "
+            "on a live model")
         if exported_dir:
             # AOT deployment artifact (serving/export.py): per-bucket
             # deserialized StableHLO programs, no Python tracing at serve
@@ -135,6 +172,17 @@ class InferenceEngine:
             self.image_height = int(exported.manifest["image_height"])
             self.image_width = int(exported.manifest["image_width"])
             self._fn = exported
+        elif num_devices > 1:
+            assert self.batch_size % num_devices == 0, (
+                f"batch_size {self.batch_size} not divisible by "
+                f"num_devices {num_devices}")
+            from fusiontransformer_tpu.parallel.data_parallel import (
+                make_mesh, replicate)
+            mesh = make_mesh(num_devices)
+            self.state = replicate(self.state, mesh)
+            self._fn = shard_predict_step(
+                make_predict_step(cfg, self.model), mesh,
+                self.batch_size // num_devices)
         else:
             self._fn = jax.jit(make_predict_step(cfg, self.model))
         self._device_lock = threading.Lock()

@@ -131,6 +131,22 @@ def test_warmup_compiles_every_bucket():
     assert st["scans"] == 0 and st["batches"] == 0
 
 
+def test_sharded_engine_matches_single_device():
+    """num_devices=4: whole-scan data sharding must not change predictions
+    (device-local gathers, rebased scan ids) — the serving analog of the
+    sharded-eval bit-match in test_data_parallel."""
+    cfg = _tiny_cfg()
+    params, bs = _params(cfg, 4)
+    single = InferenceEngine(cfg, params=params, batch_stats=bs,
+                             batch_size=4)
+    sharded = InferenceEngine(cfg, params=params, batch_stats=bs,
+                              batch_size=4, num_devices=4)
+    recs = [_record(40 + i) for i in range(4)]
+    for s, d in zip(single.predict_batch(recs), sharded.predict_batch(recs)):
+        np.testing.assert_array_equal(s["labels"], d["labels"])
+    assert sharded.stats()["voxel_overflow"] == 0
+
+
 def test_server_concurrent_matches_serial():
     cfg = _tiny_cfg()
     params, bs = _params(cfg, 2)
