@@ -49,10 +49,25 @@ from fusiontransformer_tpu.modules.steps import (TrainState, _device_batch,
 
 
 def make_predict_step(cfg, model):
-    """Labels-only inference step (one jitted program per batch shape)."""
+    """Labels-only inference step (one jitted program per batch shape).
+
+    Returns ``(step, keys)``: the step emits ONE packed ``[N, K]`` int32
+    array whose columns are ``keys`` — every per-point prediction plus the
+    broadcast ``voxel_overflow`` health metric.  One output array means
+    ONE device→host readback per batch; on tunneled dev hosts each
+    readback is a full round trip (~50 ms), and even on directly-attached
+    hosts fewer transfers is strictly better.
+    """
     use_lidar = cfg.MODEL.USE_LIDAR
     use_image = cfg.MODEL.USE_IMAGE
     use_fusion = cfg.MODEL.USE_FUSION
+
+    keys = ["pred"]
+    if use_image:
+        keys.append("pred_2d")
+    if use_lidar:
+        keys.append("pred_3d")
+        keys.append("voxel_overflow")
 
     def step(state: TrainState, batch):
         hier = _hier_from_cfg(cfg, batch) if use_lidar else None
@@ -73,16 +88,19 @@ def make_predict_step(cfg, model):
         else:
             res["pred"] = res["pred_2d"]
         if hier is not None:
-            # Lossless-capacity health metric (0 = no voxel dropped).
-            res["voxel_overflow"] = sum(
-                jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
-                for l in hier.levels)
-        return res
+            # Lossless-capacity health metric (0 = no voxel dropped),
+            # broadcast to a column so the packed result stays one array.
+            overflow = sum(jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
+                           for l in hier.levels)
+            res["voxel_overflow"] = jnp.full(res["pred"].shape, overflow,
+                                             jnp.int32)
+        return jnp.stack([res[k].astype(jnp.int32) for k in keys], axis=1)
 
-    return step
+    return step, keys
 
 
-def shard_predict_step(step_fn, mesh, scans_per_device: int):
+def shard_predict_step(step_fn, mesh, scans_per_device: int,
+                       keys: Sequence[str]):
     """Data-parallel predict over a mesh: whole scans per device, per-point
     predictions stay sharded (device-local gathers only), the overflow
     health metric is psum'd.  Same contiguous-scan layout as training DP
@@ -91,24 +109,21 @@ def shard_predict_step(step_fn, mesh, scans_per_device: int):
 
     from fusiontransformer_tpu.parallel.data_parallel import _localize_scan_ids
 
+    over_col = keys.index("voxel_overflow") if "voxel_overflow" in keys \
+        else None
+
     def per_device(state, batch):
         batch = _localize_scan_ids(batch, scans_per_device)
-        res = step_fn(state, batch)
-        overflow = res.pop("voxel_overflow", None)
-        scalars = ({"voxel_overflow": jax.lax.psum(overflow, "data")}
-                   if overflow is not None else {})
-        return res, scalars
+        packed = step_fn(state, batch)
+        if over_col is not None:
+            total = jax.lax.psum(packed[0, over_col], "data")
+            packed = packed.at[:, over_col].set(total)
+        return packed
 
-    sharded = jax.jit(jax.shard_map(per_device, mesh=mesh,
-                                    in_specs=(P(), P("data")),
-                                    out_specs=(P("data"), P()),
-                                    check_vma=False))
-
-    def run(state, batch):
-        preds, scalars = sharded(state, batch)
-        return {**preds, **scalars}
-
-    return run
+    return jax.jit(jax.shard_map(per_device, mesh=mesh,
+                                 in_specs=(P(), P("data")),
+                                 out_specs=P("data"),
+                                 check_vma=False))
 
 
 class InferenceEngine:
@@ -171,6 +186,7 @@ class InferenceEngine:
             self.point_capacity = max(self.buckets)
             self.image_height = int(exported.manifest["image_height"])
             self.image_width = int(exported.manifest["image_width"])
+            self._pred_keys = list(exported.manifest["pred_keys"])
             self._fn = exported
         elif num_devices > 1:
             assert self.batch_size % num_devices == 0, (
@@ -180,11 +196,13 @@ class InferenceEngine:
                 make_mesh, replicate)
             mesh = make_mesh(num_devices)
             self.state = replicate(self.state, mesh)
-            self._fn = shard_predict_step(
-                make_predict_step(cfg, self.model), mesh,
-                self.batch_size // num_devices)
+            step, self._pred_keys = make_predict_step(cfg, self.model)
+            self._fn = shard_predict_step(step, mesh,
+                                          self.batch_size // num_devices,
+                                          self._pred_keys)
         else:
-            self._fn = jax.jit(make_predict_step(cfg, self.model))
+            step, self._pred_keys = make_predict_step(cfg, self.model)
+            self._fn = jax.jit(step)
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.counters = {
@@ -247,15 +265,37 @@ class InferenceEngine:
 
     def run_samples(self, samples: List[Dict]) -> List[Dict]:
         """Device step over already-preprocessed samples (server fast path)."""
+        return self.complete(self.dispatch_samples(samples))
+
+    def dispatch_samples(self, samples: List[Dict]):
+        """Async half: collate + enqueue the device step, return a handle.
+
+        JAX dispatch is asynchronous — the arrays in the handle are futures.
+        Callers that keep a handle in flight while preparing the next batch
+        pipeline H2D + device compute against host work (the server does a
+        1-deep pipeline; per-call blocking costs a full host<->device round
+        trip that this hides).
+        """
         assert 0 < len(samples) <= self.batch_size, len(samples)
         batch = collate_padded(
             samples, self.batch_size, self.point_capacity,
             self.image_height, self.image_width, output_orig=True,
             capacity_buckets=self.buckets)
-        cap = len(batch["pt_valid"]) // self.batch_size
         with self._device_lock:
-            res = self._fn(self.state, _device_batch(batch))
-            res = {k: np.asarray(v) for k, v in res.items()}
+            # Explicit async device_put: jit called on numpy arguments
+            # blocks on the H2D copy, which would serialize transfers with
+            # the previous batch's compute and defeat the pipeline.
+            db = jax.device_put(_device_batch(batch))
+            res = self._fn(self.state, db)
+        return (samples, batch, res)
+
+    def complete(self, handle) -> List[Dict]:
+        """Blocking half: ONE packed readback, then devoxelize per scan."""
+        samples, batch, packed = handle
+        cap = len(batch["pt_valid"]) // self.batch_size
+        packed = np.asarray(packed)            # single D2H sync
+        res = {k: packed[:, j] for j, k in enumerate(self._pred_keys)}
+        overflow = int(res.pop("voxel_overflow", np.zeros(1))[0])
 
         results = []
         oob_total = 0
@@ -287,7 +327,7 @@ class InferenceEngine:
             c["batches"] += 1
             c["collate_dropped_points"] += int(batch["num_dropped"])
             c["oob_points"] += oob_total
-            c["voxel_overflow"] += int(res.get("voxel_overflow", 0))
+            c["voxel_overflow"] += overflow
             c["bucket_hits"][cap] = c["bucket_hits"].get(cap, 0) + 1
         return results
 

@@ -71,7 +71,7 @@ def export_predict(cfg, params, batch_stats, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     model = build_model(cfg)[0]
-    step = make_predict_step(cfg, model)
+    step, pred_keys = make_predict_step(cfg, model)
     state = TrainState(params, batch_stats or {}, None,
                        jnp.zeros((), jnp.int32))
     state_sds = _state_shapes(state)
@@ -89,6 +89,7 @@ def export_predict(cfg, params, batch_stats, out_dir: str,
         "image_height": int(h), "image_width": int(w),
         "platforms": [jax.default_backend()],
         "jax_version": jax.__version__,
+        "pred_keys": list(pred_keys),   # columns of the packed [N, K] output
         "artifacts": {},
     }
     for cap in buckets:

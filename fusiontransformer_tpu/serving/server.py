@@ -34,11 +34,13 @@ import numpy as np
 class InferenceServer:
     def __init__(self, engine, preproc_workers: int = 2,
                  max_batch: Optional[int] = None,
-                 batch_wait_ms: float = 2.0, max_queue: int = 256):
+                 batch_wait_ms: float = 2.0, max_queue: int = 256,
+                 pipeline_depth: int = 2):
         self.engine = engine
         self.max_batch = min(max_batch or engine.batch_size,
                              engine.batch_size)
         self.batch_wait_s = batch_wait_ms / 1000.0
+        self.pipeline_depth = max(1, pipeline_depth)
         self._in: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._ready: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._closed = False
@@ -83,38 +85,71 @@ class InferenceServer:
                 continue
             self._ready.put((sample, fut, t0))
 
-    def _dispatch_loop(self):
-        while True:
-            first = self._ready.get()
-            if first is None:
-                return
-            group = [first]
-            deadline = time.time() + self.batch_wait_s
-            while len(group) < self.max_batch:
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self._ready.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    self._ready.put(None)
-                    break
-                group.append(nxt)
-            samples = [g[0] for g in group]
+    def _collect_group(self, first):
+        """Group up to max_batch ready samples, waiting at most
+        batch_wait_s after the first."""
+        group = [first]
+        deadline = time.time() + self.batch_wait_s
+        while len(group) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
             try:
-                results = self.engine.run_samples(samples)
+                nxt = self._ready.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._ready.put(None)
+                break
+            group.append(nxt)
+        return group
+
+    def _complete(self, inflight):
+        group, handle = inflight
+        try:
+            results = self.engine.complete(handle)
+        except Exception as e:           # noqa: BLE001 — report to callers
+            for _, fut, _ in group:
+                fut.set_exception(e)
+            return
+        now = time.time()
+        with self._lat_lock:
+            for (_, _, t0) in group:
+                self._latencies.append(now - t0)
+        for (_, fut, _), res in zip(group, results):
+            fut.set_result(res)
+
+    def _dispatch_loop(self):
+        """Pipelined dispatch: keep up to ``pipeline_depth`` batches in
+        flight (async device_put + async jit dispatch) before reading the
+        oldest back — H2D and device compute overlap the previous batches'
+        readback and host postprocessing, hiding per-call host<->device
+        round-trip latency behind the next batches' work."""
+        from collections import deque
+
+        inflight = deque()
+        while True:
+            try:
+                first = self._ready.get(
+                    timeout=0.0005 if inflight else None)
+            except queue.Empty:
+                self._complete(inflight.popleft())   # idle: drain oldest
+                continue
+            if first is None:
+                while inflight:
+                    self._complete(inflight.popleft())
+                return
+            group = self._collect_group(first)
+            try:
+                handle = self.engine.dispatch_samples(
+                    [g[0] for g in group])
             except Exception as e:       # noqa: BLE001 — report to callers
                 for _, fut, _ in group:
                     fut.set_exception(e)
                 continue
-            now = time.time()
-            with self._lat_lock:
-                for (_, _, t0) in group:
-                    self._latencies.append(now - t0)
-            for (_, fut, _), res in zip(group, results):
-                fut.set_result(res)
+            inflight.append((group, handle))
+            while len(inflight) > self.pipeline_depth:
+                self._complete(inflight.popleft())
 
     # ------------------------------------------------------------------ #
     def stats(self) -> Dict:
