@@ -59,11 +59,12 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
     total_oob_points = 0
     total_points = 0
 
-    end = time.time()
-    for batch in dataloader:
-        data_time = time.time() - end
-        total_collate_dropped += int(batch.get("num_dropped", 0))
-        res = eval_step(state, _device_batch(batch))
+    def consume(res, batch, data_time, end):
+        nonlocal total_oob_points, total_points
+        # Device->host readback happens here, AFTER the next batch's eval
+        # step was dispatched: jax dispatch is async, so the device computes
+        # batch k+1 while the host devoxelizes + scores batch k (the eval
+        # analog of the trainer's deferred metric readback).
         res = {k: np.asarray(v) for k, v in res.items()}
 
         scan_count = batch["scan_count"]
@@ -106,7 +107,23 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
             updates["seg_loss_2d"] = float(res["seg_loss_2d"])
         batch_time = time.time() - end
         val_metric_logger.update(time=batch_time, data=data_time, **updates)
+
+    pending = None
+    end = time.time()
+    for batch in dataloader:
+        data_time = time.time() - end
+        total_collate_dropped += int(batch.get("num_dropped", 0))
+        # NOTE: the raw numpy batch goes straight to the (possibly sharded)
+        # eval step — jit places it per its in_shardings; an unconditional
+        # device_put here would commit to device 0 and fight multi-device
+        # eval (parallel/data_parallel.py::shard_eval_step).
+        res = eval_step(state, _device_batch(batch))
+        if pending is not None:
+            consume(*pending)
+        pending = (res, batch, data_time, end)
         end = time.time()
+    if pending is not None:
+        consume(*pending)
 
     # One loud line per validation run (VERDICT r1 #7): capacity undersizing
     # on real data must not degrade silently.

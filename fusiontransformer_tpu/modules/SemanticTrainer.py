@@ -172,8 +172,13 @@ class SemanticTrainer:
     # ------------------------------------------------------------------ #
     def _to_device(self, batch):
         """Array-only device view of a collated batch; the distributed
-        trainer overrides this to form mesh-sharded (multi-host) arrays."""
-        return _device_batch(batch)
+        trainer overrides this to form mesh-sharded (multi-host) arrays.
+
+        Explicit async device_put: handing numpy arrays to the jitted step
+        would block on the H2D copy at call time, serializing the transfer
+        with the previous step's compute (measured one full host<->device
+        round trip per step on tunneled hosts)."""
+        return jax.device_put(_device_batch(batch))
 
     def train_for_one_epoch(self, epoch):
         from tqdm import tqdm
@@ -184,6 +189,12 @@ class SemanticTrainer:
         if hasattr(self, "train_2d_metric"):
             self.train_2d_metric.reset()
         self.train_dataloader.set_epoch(epoch)
+        # Metrics are consumed ONE step late: jax dispatch is async, so
+        # deferring the device_get until after the NEXT step is enqueued
+        # hides the device->host sync behind that step's compute (a full
+        # round trip per step otherwise — the training-loop analog of the
+        # serving pipeline in serving/server.py).
+        pending = None
         for batch in tqdm(self.train_dataloader,
                           desc=f"training for epoch {epoch}",
                           total=len(self.train_dataloader), leave=False):
@@ -192,35 +203,45 @@ class SemanticTrainer:
             self._last_batch, self._last_rng = dev_batch, step_rng
             self.state, metrics = self.train_step_fn(
                 self.state, dev_batch, step_rng)
-            host = {k: v for k, v in metrics.items()
-                    if not k.startswith("cm_")}
-            host = jax.device_get(host)
-            # Failure detection: a non-finite loss means the run is dead —
-            # fail fast with state intact rather than burning epochs
-            # (jax.debug_nans is the opt-in fine-grained variant, utils/rng).
-            if not np.isfinite(float(host.get("total_loss", 0.0))):
-                raise FloatingPointError(
-                    f"non-finite loss at step {int(self.state.step)}: "
-                    f"{ {k: float(v) for k, v in host.items()} }")
-            if int(host.get("voxel_overflow", 0)) > 0:
-                self.logger.warning(
-                    "voxel capacity overflow: %d voxels dropped this step — "
-                    "raise TPU.LEVEL_CAPACITY_FRACTIONS",
-                    int(host["voxel_overflow"]))
-            self.train_metric_logger.update(
-                **{k: float(v) for k, v in host.items()})
-            if "cm_3d" in metrics and hasattr(self, "train_3d_metric"):
-                self.train_3d_metric.update_matrix(np.asarray(metrics["cm_3d"]))
-            if "cm_2d" in metrics and hasattr(self, "train_2d_metric"):
-                self.train_2d_metric.update_matrix(np.asarray(metrics["cm_2d"]))
-            wandb.log({k: float(v) for k, v in host.items()
-                       if k.startswith(("seg_loss", "xm_loss"))})
+            if pending is not None:
+                self._consume_step_metrics(pending)
+            pending = metrics
             if getattr(self, "_preempted", False):
-                return   # SIGTERM: stop at a step boundary, state is intact
+                break   # SIGTERM: stop at a step boundary, state is intact
+        if pending is not None:
+            self._consume_step_metrics(pending)
+        if getattr(self, "_preempted", False):
+            return
         # Per-epoch scheduler step (SemanticTrainer.py:217).
         new_lr = self.lr_schedule((epoch + 1) * self.steps_per_epoch)
         self.state = self.state._replace(
             opt_state=set_learning_rate(self.state.opt_state, new_lr))
+
+    def _consume_step_metrics(self, metrics):
+        """Device_get + log one step's metrics (deferred by one step)."""
+        host = {k: v for k, v in metrics.items() if not k.startswith("cm_")}
+        host = jax.device_get(host)
+        # Failure detection: a non-finite loss means the run is dead —
+        # fail fast with state intact rather than burning epochs
+        # (jax.debug_nans is the opt-in fine-grained variant, utils/rng).
+        # Deferred consumption fires this one step late; state stays valid.
+        if not np.isfinite(float(host.get("total_loss", 0.0))):
+            raise FloatingPointError(
+                f"non-finite loss at step {int(self.state.step)}: "
+                f"{ {k: float(v) for k, v in host.items()} }")
+        if int(host.get("voxel_overflow", 0)) > 0:
+            self.logger.warning(
+                "voxel capacity overflow: %d voxels dropped this step — "
+                "raise TPU.LEVEL_CAPACITY_FRACTIONS",
+                int(host["voxel_overflow"]))
+        self.train_metric_logger.update(
+            **{k: float(v) for k, v in host.items()})
+        if "cm_3d" in metrics and hasattr(self, "train_3d_metric"):
+            self.train_3d_metric.update_matrix(np.asarray(metrics["cm_3d"]))
+        if "cm_2d" in metrics and hasattr(self, "train_2d_metric"):
+            self.train_2d_metric.update_matrix(np.asarray(metrics["cm_2d"]))
+        wandb.log({k: float(v) for k, v in host.items()
+                   if k.startswith(("seg_loss", "xm_loss"))})
 
     def update_log(self, epoch):
         lp = self.cfg.TRAIN.LOG_PERIOD

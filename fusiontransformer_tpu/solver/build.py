@@ -15,6 +15,7 @@ from __future__ import annotations
 import warnings
 from bisect import bisect_right
 
+import jax.numpy as jnp
 import optax
 
 
@@ -89,8 +90,15 @@ def build_optimizer(cfg, steps_per_epoch: int = 1):
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected LR in-place (per-epoch scheduler step)."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected LR in-place (per-epoch scheduler step).
+
+    The new value must keep the exact abstract type of the leaf the train
+    step was traced with (concrete f32 array, not a weak-typed python
+    float) — a weak-typed leaf changes the jit cache key and forces a full
+    retrace of the train step at every epoch boundary (~90 s each)."""
+    prev = opt_state.hyperparams["learning_rate"]
+    dtype = getattr(prev, "dtype", jnp.float32)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=dtype)
     return opt_state
 
 

@@ -73,6 +73,37 @@ def test_lr_schedules_torch_parity():
     assert s2(7) == pytest.approx(0.05)  # 0.01 clipped to CLIP_LR
 
 
+def test_set_learning_rate_keeps_jit_cache():
+    """The per-epoch LR update must not change the opt_state leaf's abstract
+    type (dtype/weak_type): a raw python float here retraces the full train
+    step at every epoch boundary (reference scheduler semantics are per-epoch,
+    SemanticTrainer.py:216-218)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fusiontransformer_tpu.solver.build import (build_optimizer,
+                                                    set_learning_rate)
+
+    cfg = get_default_cfg()
+    cfg.OPTIMIZER.TYPE = "Adam"
+    tx, schedule = build_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(opt_state, params):
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return opt_state, optax.apply_updates(params, updates)
+
+    opt_state, params = step(opt_state, params)
+    n_traces = step._cache_size()
+    opt_state = set_learning_rate(opt_state, schedule(2))
+    opt_state, params = step(opt_state, params)
+    assert step._cache_size() == n_traces, "LR update retraced the step"
+
+
 def test_checkpointer_gc_and_manifest(tmp_path):
     import numpy as np
 
