@@ -1,5 +1,6 @@
 """End-to-end training smoke test on the synthetic dataset (tiny, CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,3 +62,20 @@ def test_lidar_train_val_checkpoint_resume(tmp_path):
     p1 = payload["params"]["backbone"]["stem0"]["kernel"]
     p2 = trainer2.state.params["backbone"]["stem0"]["kernel"]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_nonfinite_loss_fails_fast(tmp_path):
+    """Failure detection survives the deferred (one-step-late) metric
+    readback: a poisoned-parameter run must still raise FloatingPointError
+    from within the epoch, with state intact (SemanticTrainer.py fail-fast)."""
+    import pytest
+
+    from fusiontransformer_tpu.modules.SemanticTrainer import SemanticTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    trainer = SemanticTrainer(cfg, str(tmp_path), "nanrun")
+    trainer.state = trainer.state._replace(
+        params=jax.tree.map(lambda p: jnp.full_like(p, jnp.nan),
+                            trainer.state.params))
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        trainer.train_for_one_epoch(0)
