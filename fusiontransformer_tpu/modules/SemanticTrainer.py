@@ -310,14 +310,17 @@ class SemanticTrainer:
                                          global_step=epoch)
 
     def validate_for_one_epoch(self, epoch):
+        """Returns True iff validation actually ran this epoch."""
         if self.val_dataloader is None:
-            return
+            return False
         if self.cfg.VAL.PERIOD > 0 and (
                 epoch % self.cfg.VAL.PERIOD == 0
                 or epoch == self.cfg.SCHEDULER.MAX_EPOCH - 1):
             self.val_metric_logger.reset()
             validate(self.cfg, self.eval_step_fn, self.state,
                      self.val_dataloader, self.val_metric_logger)
+            return True
+        return False
 
     def update_validation_logging_meters(self, epoch):
         if not self.val_metric_logger.meters:
@@ -414,8 +417,11 @@ class SemanticTrainer:
             self.logger.info("Epoch %d took %.1fs", epoch, time.time() - t0)
             self.update_log(epoch)
             self.update_summary(epoch)
-            self.validate_for_one_epoch(epoch)
-            self.update_validation_logging_meters(epoch)
+            # Only epochs that actually validated log Val meters / update
+            # best-metric tracking (VAL.PERIOD > 1 otherwise re-logged the
+            # previous validation's meters under the current epoch number).
+            if self.validate_for_one_epoch(epoch):
+                self.update_validation_logging_meters(epoch)
             if any(self.best_metric_epoch.get(m) == epoch
                    for m in self.modalities):
                 self.update_checkpoint(epoch)
