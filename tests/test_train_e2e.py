@@ -79,3 +79,24 @@ def test_nonfinite_loss_fails_fast(tmp_path):
                             trainer.state.params))
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         trainer.train_for_one_epoch(0)
+
+
+def test_training_is_bitwise_deterministic(tmp_path):
+    """Same RNG_SEED => bitwise-identical params after training.  This is
+    the TPU-world replacement for the reference's cudnn.deterministic
+    toggles (common/utils/torch_util.py:14-15): explicit PRNG keys + jit
+    make the whole train loop (init, augmentation, dropout, shuffling) a
+    pure function of the seed."""
+    from fusiontransformer_tpu.modules.SemanticTrainer import SemanticTrainer
+
+    leaves = []
+    for sub in ("a", "b"):
+        out = tmp_path / sub
+        out.mkdir()
+        cfg = _tiny_cfg(out)
+        trainer = SemanticTrainer(cfg, str(out), f"det_{sub}")
+        trainer.train()
+        leaves.append(jax.tree.leaves(trainer.state.params))
+    assert len(leaves[0]) == len(leaves[1])
+    for p, q in zip(*leaves):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
