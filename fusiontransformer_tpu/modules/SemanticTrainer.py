@@ -234,6 +234,12 @@ class SemanticTrainer:
                 "voxel capacity overflow: %d voxels dropped this step — "
                 "raise TPU.LEVEL_CAPACITY_FRACTIONS",
                 int(host["voxel_overflow"]))
+        if int(host.get("tap_overflow", 0)) > 0:
+            self.logger.warning(
+                "conv tap-slot overflow: %d live taps dropped this step — "
+                "gradients of the binned conv are inconsistent with its "
+                "forward under overflow; raise TPU.CONV_TAP_SLOTS",
+                int(host["tap_overflow"]))
         self.train_metric_logger.update(
             **{k: float(v) for k, v in host.items()})
         if "cm_3d" in metrics and hasattr(self, "train_3d_metric"):

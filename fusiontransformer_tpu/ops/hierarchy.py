@@ -82,7 +82,9 @@ class Level(NamedTuple):
 class Hierarchy(NamedTuple):
     levels: Tuple[Level, ...]
     pt_sorted_pos: jnp.ndarray   # [N] int32 position of each input point in level 0
-    vox0_point_idx: jnp.ndarray  # [N] int32 original point index per level-0 slot
+    vox0_point_idx: jnp.ndarray  # [cap0] int32 original point index per
+    #   level-0 slot (cap0 = L0_CAPACITY_FRACTION * N, may be < N;
+    #   sentinel N for unfilled slots)
     pt_valid: jnp.ndarray        # [N] bool
     # Per level: trilinear corner gather map for voxel_to_point, or None.
     pt_corner_idx: Tuple[Optional[jnp.ndarray], ...]  # each [N, 8] int32

@@ -152,7 +152,10 @@ def lex_lookup(table_hi, table_lo, q_hi, q_lo):
 def sorted_join(table_hi, table_lo, q_hi, q_lo):
     """Exact-match lookup via a single sort-join (TPU-fast path).
 
-    Functionally identical to :func:`lex_lookup`, but instead of a binary
+    Functionally identical to :func:`lex_lookup` for tables with UNIQUE
+    keys (all in-repo tables are unique_sorted outputs); with duplicate
+    table keys the two diverge — lex_lookup returns the first matching
+    index, the cummax here returns the last.  Instead of a binary
     search (17 serial rounds of 1D gathers — slow on TPU's gather engine) it
     runs ONE ``lax.sort`` over [table ++ queries] with a tie-break key that
     places table rows before equal queries, then propagates the most recent

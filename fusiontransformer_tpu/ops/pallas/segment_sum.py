@@ -128,6 +128,13 @@ def _kernel(base_ref, ids_ref, g_ref, w_ref, out_ref, acc_ref, sem_ref,
 
 def sorted_segment_weighted_sum(g, w, ids, num_out, *, block=256,
                                 interpret=None, precise=False):
+    if block % 8 != 0 or block <= 0:
+        # The kernel promises Mosaic 8-aligned retire shifts
+        # (pl.multiple_of) and decomposes retire chunks into 8-multiples;
+        # a misaligned block would turn that promise into a false compiler
+        # hint (silently wrong sums) rather than an error.
+        raise ValueError(f"block must be a positive multiple of 8, "
+                         f"got {block}")
     if interpret is None:
         # The Mosaic TPU pipeline needs real TPU hardware; tests, the
         # virtual-device dry run, and any non-TPU backend execute via the

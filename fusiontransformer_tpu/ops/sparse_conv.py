@@ -173,6 +173,12 @@ def _subm3_binned_impl(feats, w, src, tap, cdt):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _subm3s(feats, w, src, tap, cdt):
+    # NOTE: forward/backward consistency relies on the K-slot maps being
+    # LOSSLESS (tap_overflow == 0).  With overflow, the forward drops taps
+    # by the destination's slot budget while the mirrored backward drops by
+    # the source's — different sets, so gradients would no longer match the
+    # computed forward.  The trainer warns on tap_overflow > 0; size
+    # TPU.CONV_TAP_SLOTS so it never fires.
     return _subm3_binned_impl(feats, w, src, tap, cdt)
 
 
@@ -372,18 +378,25 @@ def voxelize_mean(pt_feats, pt_voxel_idx, pt_valid, num_voxels, plan=None,
     keeps the kernel's per-point contributions un-rounded (true f32 parity).
     """
     ids = jnp.where(pt_valid, pt_voxel_idx, num_voxels)
-    counts = jax.ops.segment_sum(
-        pt_valid.astype(jnp.float32), ids,
-        num_segments=num_voxels + 1)[:num_voxels]
-    inv = 1.0 / jnp.maximum(counts, 1.0)
     if plan is None:
+        counts = jax.ops.segment_sum(
+            pt_valid.astype(jnp.float32), ids,
+            num_segments=num_voxels + 1)[:num_voxels]
+        inv = 1.0 / jnp.maximum(counts, 1.0)
         sums = jax.ops.segment_sum(
             pt_feats * pt_valid[:, None].astype(pt_feats.dtype), ids,
             num_segments=num_voxels + 1)[:num_voxels]
         return sums * inv[:, None]
-    return _voxmean_sum(pt_feats, pt_valid, ids, plan.sort_perm,
-                        plan.ids_sorted, num_voxels,
-                        compute_dtype == jnp.float32) * inv[:, None]
+    # Plan path: counts ride the same Pallas kernel call as a trailing ones
+    # column of the value matrix (T = [sum valid*feats, sum valid]) — the
+    # standalone counts segment_sum was the last XLA row scatter left in the
+    # hot step (~1.4 ms/step at bench shapes).
+    out = _voxmean_sum(pt_feats, pt_valid, ids, plan.sort_perm,
+                       plan.ids_sorted, num_voxels,
+                       compute_dtype == jnp.float32)
+    sums, counts = out[:, :-1], jax.lax.stop_gradient(out[:, -1])
+    inv = 1.0 / jnp.maximum(counts, 1.0)
+    return sums * inv[:, None]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -395,10 +408,13 @@ def _voxmean_sum(pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted,
 
 def _voxmean_sum_impl(pt_feats, pt_valid, sort_perm, ids_sorted, num_voxels,
                       precise):
+    """Returns [V, C+1]: feature sums plus a trailing point-count column."""
     from fusiontransformer_tpu.ops.pallas.segment_sum import (
         sorted_segment_weighted_sum)
 
-    g_s = pad_row(pt_feats.astype(jnp.float32))[sort_perm]
+    ones = jnp.ones((pt_feats.shape[0], 1), jnp.float32)
+    g_s = pad_row(jnp.concatenate(
+        [pt_feats.astype(jnp.float32), ones], axis=1))[sort_perm]
     w_s = pad_row(pt_valid.astype(jnp.float32)[:, None])[sort_perm]
     # Unreached rows come back zeroed (kernel contract) — NaN-safe for the
     # masked BN that consumes this.
@@ -416,8 +432,10 @@ def _voxmean_sum_fwd(pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted,
 def _voxmean_sum_bwd(num_voxels, precise, res, dout):
     pt_feats, pt_valid, ids_orig, sort_perm, ids_sorted = res
     # Adjoint of the masked segment-sum is a plain gather in original point
-    # order: d pt_feats[n] = valid[n] * dout[vox(n)].
-    dpt = pad_row(dout)[jnp.minimum(ids_orig, num_voxels)]
+    # order: d pt_feats[n] = valid[n] * dout[vox(n)].  The trailing counts
+    # column is stop_gradient'd by the caller (zero cotangent) and the ones
+    # column it sums is constant — slice it off.
+    dpt = pad_row(dout[:, :-1])[jnp.minimum(ids_orig, num_voxels)]
     dpt = dpt * pt_valid[:, None].astype(dpt.dtype)
     return (dpt.astype(pt_feats.dtype), _float0(pt_valid), _float0(ids_orig),
             _float0(sort_perm), _float0(ids_sorted))
@@ -426,11 +444,16 @@ def _voxmean_sum_bwd(num_voxels, precise, res, dout):
 _voxmean_sum.defvjp(_voxmean_sum_fwd, _voxmean_sum_bwd)
 
 
-def _devox_impl(vox_feats, corner_idx, corner_w):
+def _devox_impl(vox_feats, corner_idx, corner_w, precise=False):
     fe = pad_row(vox_feats)
     g = fe[corner_idx.T]                              # [8, N, C] tap-major
+    # Returns f32 (docstring contract) even for bf16 voxel features; the
+    # f32 parity path needs HIGHEST like every other conv site (_prec) —
+    # TPU's default matmul precision is a single bf16 pass.
     return jnp.einsum("nk,knc->nc", corner_w.astype(g.dtype), g,
-                      preferred_element_type=jnp.float32).astype(g.dtype)
+                      precision=jax.lax.Precision.HIGHEST if precise
+                      else None,
+                      preferred_element_type=jnp.float32)
 
 
 class DevoxPlan(NamedTuple):
@@ -465,12 +488,12 @@ def devox_plan(hier, level):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _devox3(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg,
             precise):
-    return _devox_impl(vox_feats, corner_idx, corner_w)
+    return _devox_impl(vox_feats, corner_idx, corner_w, precise)
 
 
 def _devox3_fwd(vox_feats, corner_idx, corner_w, sort_perm, ids_sorted,
                 nbr_neg, precise):
-    return (_devox_impl(vox_feats, corner_idx, corner_w),
+    return (_devox_impl(vox_feats, corner_idx, corner_w, precise),
             (vox_feats, corner_idx, corner_w, sort_perm, ids_sorted, nbr_neg))
 
 
@@ -523,7 +546,8 @@ def devoxelize_trilinear(vox_feats, corner_idx, corner_w, plan=None,
       [N, C] float32.
     """
     if plan is None:
-        return _devox_impl(vox_feats, corner_idx, corner_w)
+        return _devox_impl(vox_feats, corner_idx, corner_w,
+                           compute_dtype == jnp.float32)
     return _devox3(vox_feats, corner_idx, corner_w,
                    plan.sort_perm, plan.ids_sorted, plan.nbr_neg,
                    compute_dtype == jnp.float32)

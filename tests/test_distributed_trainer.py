@@ -64,7 +64,16 @@ def test_distributed_trainer_full_cycle(tmp_path):
     assert {"targets", "coords", "predictions_3d"} <= set(d.keys())
 
     # Analysis CLI re-scores the dumps.
-    from fusiontransformer_tpu.analysis import analyze_predictions
+    from fusiontransformer_tpu.analysis import (analyze_predictions,
+                                                overlay_predictions)
     ev = analyze_predictions(osp.join(str(tmp_path), "predictions"),
                              num_classes=20, modality="3d")
     assert ev.confusion_matrix.sum() > 0
+
+    # ... and the visual-analysis CLI renders overlay/BEV PNGs from them
+    # (reference notebooks/visual_analysis.ipynb flow).
+    written = overlay_predictions(osp.join(str(tmp_path), "predictions"),
+                                  osp.join(str(tmp_path), "overlays"),
+                                  modality="3d", limit=2)
+    bevs = [p for p in written if p.endswith("_bev.png")]
+    assert bevs and all(osp.getsize(p) > 0 for p in written)
