@@ -40,16 +40,18 @@ import numpy as np
 _G = {}
 
 
-def _worker_init(dataset, collate_fn, base_seed):
+def _worker_init(dataset, collate_fn):
     _G["dataset"] = dataset
     _G["collate"] = collate_fn
-    _G["base_seed"] = base_seed
 
 
-def _worker_produce(ordinal, idx):
+def _worker_produce(base_seed, ordinal, idx):
     # Deterministic per-batch stream: datasets draw augmentations from the
-    # global numpy RNG, so seed it per batch, not per worker.
-    np.random.seed((_G["base_seed"] * 100003 + ordinal) % (2 ** 31 - 1))
+    # global numpy RNG, so seed it per batch, not per worker.  The epoch
+    # seed arrives per TASK (not via the initializer) so one pool serves
+    # every epoch — respawning workers + re-pickling the dataset each epoch
+    # costs seconds of dead time per epoch boundary.
+    np.random.seed((base_seed * 100003 + ordinal) % (2 ** 31 - 1))
     return _G["collate"]([_G["dataset"][int(i)] for i in idx])
 
 
@@ -65,6 +67,7 @@ class DataLoader:
         self.epoch = 0
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -92,6 +95,28 @@ class DataLoader:
     def _produce(self, idx):
         return self.collate_fn([self.dataset[int(i)] for i in idx])
 
+    def _get_pool(self):
+        """Persistent forkserver pool — created once, reused across epochs
+        (the epoch seed travels per task, see _worker_produce)."""
+        if self._pool is None:
+            ctx = multiprocessing.get_context("forkserver")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init,
+                initargs=(self.dataset, self.collate_fn))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):   # pragma: no cover - interpreter teardown
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _iter_mp(self, batches):
         """Ordered parallel batch production over a forkserver pool.
 
@@ -99,32 +124,32 @@ class DataLoader:
         ``window`` collated batches in flight; results pop in submission
         order so iteration order matches the synchronous path.
         """
-        ctx = multiprocessing.get_context("forkserver")
         window = self.num_workers + max(2, self.prefetch)
-        pool = ctx.Pool(self.num_workers, initializer=_worker_init,
-                        initargs=(self.dataset, self.collate_fn,
-                                  self.seed + self.epoch))
+        pool = self._get_pool()
+        base_seed = self.seed + self.epoch
+        pending = deque()
+        it = enumerate(batches)
+
+        def submit():
+            try:
+                i, idx = next(it)
+            except StopIteration:
+                return
+            pending.append(pool.apply_async(
+                _worker_produce, (base_seed, i, np.asarray(idx))))
+
+        for _ in range(window):
+            submit()
         try:
-            pending = deque()
-            it = enumerate(batches)
-
-            def submit():
-                try:
-                    i, idx = next(it)
-                except StopIteration:
-                    return
-                pending.append(
-                    pool.apply_async(_worker_produce, (i, np.asarray(idx))))
-
-            for _ in range(window):
-                submit()
             while pending:
                 batch = pending.popleft().get()
                 submit()
                 yield batch
-        finally:
-            pool.terminate()
-            pool.join()
+        except GeneratorExit:
+            # Abandoned mid-epoch (e.g. a bench taking a few batches): the
+            # pool stays alive for the next epoch; in-flight results are
+            # simply dropped when collected.
+            raise
 
     def __iter__(self):
         batches = self._index_batches()

@@ -59,13 +59,18 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
     total_oob_points = 0
     total_points = 0
 
-    def consume(res, batch, data_time, end):
+    def consume(res, batch, data_time, end, dispatched):
         nonlocal total_oob_points, total_points
         # Device->host readback happens here, AFTER the next batch's eval
         # step was dispatched: jax dispatch is async, so the device computes
         # batch k+1 while the host devoxelizes + scores batch k (the eval
         # analog of the trainer's deferred metric readback).
+        sync_start = time.time()
         res = {k: np.asarray(v) for k, v in res.items()}
+        # This batch's own span: host work up to dispatch + result wait.
+        # (time.time() - end would also count the NEXT batch's data load,
+        # since consume runs one iteration deferred.)
+        batch_time = (dispatched - end) + (time.time() - sync_start)
 
         scan_count = batch["scan_count"]
         cap = len(batch["pt_valid"]) // len(scan_count)
@@ -105,7 +110,6 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
             updates["seg_loss_3d"] = float(res["seg_loss_3d"])
         if "seg_loss_2d" in res:
             updates["seg_loss_2d"] = float(res["seg_loss_2d"])
-        batch_time = time.time() - end
         val_metric_logger.update(time=batch_time, data=data_time, **updates)
 
     pending = None
@@ -118,9 +122,10 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
         # device_put here would commit to device 0 and fight multi-device
         # eval (parallel/data_parallel.py::shard_eval_step).
         res = eval_step(state, _device_batch(batch))
+        dispatched = time.time()
         if pending is not None:
             consume(*pending)
-        pending = (res, batch, data_time, end)
+        pending = (res, batch, data_time, end, dispatched)
         end = time.time()
     if pending is not None:
         consume(*pending)

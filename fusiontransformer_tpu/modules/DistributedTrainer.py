@@ -222,7 +222,12 @@ class DistributedTrainer(SemanticTrainer):
     # ------------------------------------------------------------------ #
     def _save_preemption_checkpoint(self, epoch):
         """TP/ZeRO states carry sharded layouts; preemption checkpoints stay
-        canonical like every other checkpoint."""
+        canonical like every other checkpoint.  Rank-guarded like
+        update_checkpoint: on multi-host runs every process receives the
+        SIGTERM, and concurrent writes to the same preempt dir (rmtree vs
+        save) would corrupt the one checkpoint resume depends on."""
+        if getattr(self, "rank", 0) != 0:
+            return
         if self.model_parallel > 1:
             merged = self.state._replace(
                 params=self._merge_jit(self.state.params),

@@ -74,9 +74,18 @@ class SemanticTrainer:
         self.run_name = run_name
         self.logger = logging.getLogger(
             f"FusionTransformer.{cfg['MODEL']['TYPE']}.train")
-        wandb.login()
-        self.run = wandb.init(project="FusionTransformer", config=dict(cfg),
-                              group=cfg["MODEL"]["TYPE"], sync_tensorboard=True)
+        # Rank guard: on multi-host runs (DistributedTrainer calls
+        # initialize_distributed() before this) only rank 0 opens wandb/TB —
+        # otherwise every host forks its own wandb run and interleaves
+        # identical scalars into the shared event directory.
+        self._is_master = jax.process_index() == 0
+        if self._is_master:
+            wandb.login()
+            self.run = wandb.init(
+                project="FusionTransformer", config=dict(cfg),
+                group=cfg["MODEL"]["TYPE"], sync_tensorboard=True)
+        else:
+            self.run = None
 
         built = build_model(cfg)
         self.model = built[0]
@@ -121,7 +130,7 @@ class SemanticTrainer:
             async_save=bool(cfg.TRAIN.get("ASYNC_CHECKPOINT", False)))
         self.checkpoint_data = self._load_checkpoint()
 
-        if output_dir:
+        if output_dir and self._is_master:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self.summary_writer = SummaryWriter(
@@ -246,8 +255,9 @@ class SemanticTrainer:
             self.train_3d_metric.update_matrix(np.asarray(metrics["cm_3d"]))
         if "cm_2d" in metrics and hasattr(self, "train_2d_metric"):
             self.train_2d_metric.update_matrix(np.asarray(metrics["cm_2d"]))
-        wandb.log({k: float(v) for k, v in host.items()
-                   if k.startswith(("seg_loss", "xm_loss"))})
+        if self._is_master:
+            wandb.log({k: float(v) for k, v in host.items()
+                       if k.startswith(("seg_loss", "xm_loss"))})
 
     def update_log(self, epoch):
         lp = self.cfg.TRAIN.LOG_PERIOD
@@ -432,5 +442,6 @@ class SemanticTrainer:
                    for m in self.modalities):
                 self.update_checkpoint(epoch)
         self.checkpointer.wait()     # join any in-flight async save
-        wandb.finish()
+        if self._is_master:
+            wandb.finish()
         return self.state

@@ -263,9 +263,11 @@ class InferenceEngine:
     def predict_batch(self, records: Sequence[Dict]) -> List[Dict]:
         return self.run_samples([self.preprocess(r) for r in records])
 
-    def run_samples(self, samples: List[Dict]) -> List[Dict]:
+    def run_samples(self, samples: List[Dict],
+                    count_stats: bool = True) -> List[Dict]:
         """Device step over already-preprocessed samples (server fast path)."""
-        return self.complete(self.dispatch_samples(samples))
+        return self.complete(self.dispatch_samples(samples),
+                             count_stats=count_stats)
 
     def dispatch_samples(self, samples: List[Dict]):
         """Async half: collate + enqueue the device step, return a handle.
@@ -289,7 +291,7 @@ class InferenceEngine:
             res = self._fn(self.state, db)
         return (samples, batch, res)
 
-    def complete(self, handle) -> List[Dict]:
+    def complete(self, handle, count_stats: bool = True) -> List[Dict]:
         """Blocking half: ONE packed readback, then devoxelize per scan."""
         samples, batch, packed = handle
         cap = len(batch["pt_valid"]) // self.batch_size
@@ -321,14 +323,15 @@ class InferenceEngine:
                     key.replace("pred", "labels")] = full
             results.append(out)
 
-        with self._stats_lock:
-            c = self.counters
-            c["scans"] += len(samples)
-            c["batches"] += 1
-            c["collate_dropped_points"] += int(batch["num_dropped"])
-            c["oob_points"] += oob_total
-            c["voxel_overflow"] += overflow
-            c["bucket_hits"][cap] = c["bucket_hits"].get(cap, 0) + 1
+        if count_stats:
+            with self._stats_lock:
+                c = self.counters
+                c["scans"] += len(samples)
+                c["batches"] += 1
+                c["collate_dropped_points"] += int(batch["num_dropped"])
+                c["oob_points"] += oob_total
+                c["voxel_overflow"] += overflow
+                c["bucket_hits"][cap] = c["bucket_hits"].get(cap, 0) + 1
         return results
 
     # ------------------------------------------------------------------ #
@@ -339,27 +342,17 @@ class InferenceEngine:
         bucket at a full batch; partially-filled batches reuse the same
         program (the batch buffer shape is what's traced, not the fill).
         """
-        with self._stats_lock:   # warmup traffic shouldn't pollute stats
-            snapshot = (dict(self.counters),
-                        dict(self.counters["bucket_hits"]))
         times = {}
         for b in (buckets or self.buckets):
             t0 = time.time()
             samples = [self._dummy_sample(int(b))
                        for _ in range(self.batch_size)]
-            self.run_samples(samples)
+            # count_stats=False: warmup traffic shouldn't pollute stats, and
+            # a snapshot/restore of the counters would discard any REAL
+            # requests completing concurrently with the warmup.
+            self.run_samples(samples, count_stats=False)
             times[int(b)] = time.time() - t0
-        with self._stats_lock:
-            counters, hits = snapshot
-            counters["bucket_hits"] = hits
-            self.counters = counters
         return times
-
-    def _bucket_for(self, n: int) -> int:
-        for b in self.buckets:
-            if b >= n:
-                return int(b)
-        return int(self.buckets[-1])
 
     def _dummy_sample(self, n_points: int) -> Dict:
         """Synthetic record preprocessed to exactly fill ``n_points``."""

@@ -75,7 +75,6 @@ class InferenceServer:
             item = self._in.get()
             if item is None:
                 self._in.put(None)        # propagate to sibling workers
-                self._ready.put(None)
                 return
             record, fut, t0 = item
             try:
@@ -171,8 +170,13 @@ class InferenceServer:
             return
         self._closed = True
         self._in.put(None)
+        # Join preproc workers FIRST: a worker mid-preprocess still publishes
+        # its sample to _ready before exiting, so the dispatch sentinel must
+        # only be enqueued after every worker is done — otherwise that last
+        # sample lands behind the sentinel and its Future never resolves.
         for t in self._preproc_threads:
             t.join(timeout=10)
+        self._ready.put(None)
         self._dispatch_thread.join(timeout=10)
 
 

@@ -43,6 +43,7 @@ class CheckpointerV2:
         self.postfix = postfix
         self.async_save = async_save
         self._pending = None             # background writer thread
+        self._write_error = None         # failure from the last async write
         self._saved = self._load_manifest_list()
 
     # -- manifest -----------------------------------------------------------
@@ -67,10 +68,19 @@ class CheckpointerV2:
 
     # -- save/load ----------------------------------------------------------
     def wait(self):
-        """Join any in-flight async save (no-op when none is pending)."""
+        """Join any in-flight async save (no-op when none is pending).
+
+        Re-raises a failed background write here: callers that wait() before
+        relying on the checkpoint (preemption save, end-of-training) must not
+        believe a save succeeded when the write thread died (e.g. disk full).
+        """
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        if self._write_error is not None:
+            err, self._write_error = self._write_error, None
+            raise RuntimeError(
+                f"async checkpoint write failed: {err}") from err
 
     def save(self, name, tree=None, **extra):
         """Save a checkpoint.
@@ -99,6 +109,7 @@ class CheckpointerV2:
             self._pending.start()
         else:
             self._write(path, payload)
+            self.wait()   # no-op join; re-raises a sync write failure
 
     def _write(self, path, payload):
         try:
@@ -122,8 +133,9 @@ class CheckpointerV2:
                 wandb.save(path)
             except Exception:
                 pass
-        except Exception:  # pragma: no cover - surfaced, not swallowed
+        except Exception as e:  # pragma: no cover - re-raised at wait()
             self.logger.exception("Checkpoint write failed: %s", path)
+            self._write_error = e
 
     def _gc(self):
         while len(self._saved) > self.max_to_keep:

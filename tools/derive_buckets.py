@@ -59,9 +59,29 @@ def _align(x, a=128):
     return int(-(-int(x) // a) * a)
 
 
+def runtime_caps(bucket, frac0, fracs):
+    """EXACT runtime cap ladder for a bucket-sized point buffer — delegates
+    to ``modules.steps.level_caps_for_n`` so the tool can never verify a
+    ladder against different rounding than the trainer will use (the
+    runtime rounds caps to the NEAREST 128, which can land 128 rows below
+    a ceil-aligned value)."""
+    from types import SimpleNamespace
+
+    from fusiontransformer_tpu.modules.steps import level_caps_for_n
+
+    cfg = SimpleNamespace(TPU=SimpleNamespace(
+        L0_CAPACITY_FRACTION=frac0, LEVEL_CAPACITY_FRACTIONS=list(fracs)))
+    return list(level_caps_for_n(cfg, int(bucket)))
+
+
 def recommend(stats, percentiles=(60, 85, 100), headroom=1.15,
               l0_fraction=True):
-    """Bucket ladder + level fractions covering every measured scan."""
+    """Bucket ladder + level fractions covering every measured scan.
+
+    Fractions are chosen, then pushed up in 1e-3 steps until the caps the
+    RUNTIME derives from them (round-to-nearest-128 chaining) cover every
+    measured scan — the published fractions are exactly what lands in the
+    YAML, so what this tool verifies is what the trainer runs."""
     npts = stats[:, 0]
     buckets = sorted({_align(np.percentile(npts, p) * headroom)
                       for p in percentiles})
@@ -72,20 +92,33 @@ def recommend(stats, percentiles=(60, 85, 100), headroom=1.15,
     # L0: voxels are <= points; the binding scans sit just under a bucket
     # boundary, so the fraction is max over scans of count0/bucket.
     frac0 = float(np.max(stats[:, 1] / route)) * headroom if l0_fraction else 1.0
-    frac0 = min(frac0, 1.0)
-    caps = {b: [_align(b * frac0)] for b in buckets}
+    frac0 = round(min(frac0, 1.0), 3)
+    # L0 first: nearest-128 rounding can undershoot the measured max, so bump
+    # the published fraction until the RUNTIME caps cover every scan.
+    while frac0 < 1.0:
+        caps_try = {b: runtime_caps(b, frac0, []) for b in buckets}
+        if all(stats[i, 1] <= caps_try[route[i]][0]
+               for i in range(len(stats))):
+            break
+        frac0 = round(min(frac0 + 0.001, 1.0), 3)
     fracs = []
     for l in range(1, num_levels):
-        f = float(np.max([stats[i, l + 1] / caps[route[i]][l - 1]
+        caps_b = {b: runtime_caps(b, frac0, fracs) for b in buckets}
+        f = float(np.max([stats[i, l + 1] / caps_b[route[i]][l - 1]
                           for i in range(len(stats))])) * headroom
-        f = min(f, 1.0)
-        fracs.append(round(f, 3))
-        for b in buckets:
-            caps[b].append(_align(caps[b][l - 1] * f))
+        f = round(min(f, 1.0), 3)
+        while f < 1.0:
+            caps_try = {b: runtime_caps(b, frac0, fracs + [f]) for b in buckets}
+            if all(stats[i, l + 1] <= caps_try[route[i]][l]
+                   for i in range(len(stats))):
+                break
+            f = round(min(f + 0.001, 1.0), 3)
+        fracs.append(f)
+    caps = {b: runtime_caps(b, frac0, fracs) for b in buckets}
     return {
         "buckets": buckets,
         "point_capacity": buckets[-1],
-        "l0_fraction": round(frac0, 3),
+        "l0_fraction": frac0,
         "fractions": fracs,
         "caps_per_bucket": caps,
     }
