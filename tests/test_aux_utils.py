@@ -135,3 +135,45 @@ def test_wandb_stub_api_surface():
     wandb.log({"loss": 1.0})
     wandb.save("nonexistent.ckpt")
     wandb.finish()
+
+
+def test_reference_proxy_kernel_maps_match_bruteforce():
+    """The CPU reference proxy's sorted-key hash-join kernel maps must agree
+    with a brute-force dict lookup (guards the baseline anchor's sparse
+    topology, tools/bench_reference_proxy.py)."""
+    import sys
+    sys.path.insert(0, "tools")
+    import numpy as np
+    from bench_reference_proxy import OFFS3, KernelMaps
+
+    rng = np.random.RandomState(0)
+    coords = np.unique(rng.randint(0, 12, size=(300, 3)), axis=0)
+    km = KernelMaps(coords)
+    maps = km.maps3(0)
+    table = {tuple(c): i for i, c in enumerate(coords)}
+    for t in range(27):
+        for v in range(len(coords)):
+            want = table.get(tuple(coords[v] + OFFS3[t]), -1)
+            assert maps[t, v] == want, (t, v)
+
+
+def test_reference_proxy_point_voxel_roundtrip():
+    import sys
+    sys.path.insert(0, "tools")
+    import numpy as np
+    import torch
+    from bench_reference_proxy import KernelMaps, pt_vox_level, scatter_mean
+
+    rng = np.random.RandomState(1)
+    coords = np.unique(rng.randint(0, 16, size=(200, 3)), axis=0)
+    km = KernelMaps(coords)
+    pt_vox0 = torch.arange(len(coords))
+    # level-2 assignment must equal the direct coord>>2 join
+    lvl2 = pt_vox_level(km, pt_vox0.numpy(), 2).numpy()
+    tab2 = {tuple(c): i for i, c in enumerate(km.level(2))}
+    for v in range(len(coords)):
+        assert lvl2[v] == tab2[tuple(coords[v] // 4)]
+    # scatter_mean of ones -> exactly ones
+    out = scatter_mean(torch.ones(len(coords), 3), torch.from_numpy(lvl2),
+                       len(km.level(2)))
+    assert torch.allclose(out[np.unique(lvl2)], torch.ones(1))
