@@ -69,13 +69,37 @@ def _float0(x):
 # sum_{v: nbr(v,d)=u} dout[v], equal to dout[nbr(u, 26-d)] — which the
 # mirrored gd gather already holds — so the backward pass needs exactly ONE
 # gather (no feats re-gather; measured ~1.8x faster at stem shapes).
+#
+# Center-tap skip: tap 13 is the identity map (nbr(u, 13) == u where the row
+# is valid, sentinel otherwise), so its rows never need the gather engine —
+# both passes gather 26 taps and add a direct masked matmul for the center
+# (gathers are row-rate bound: 26/27 rows is a measured +3-4% per conv,
+# +14% at L4 shapes, tools/microbench_conv.py).  The mask matters: the
+# dense formulation zeroed invalid rows via the sentinel gather, so the
+# direct term must zero them explicitly or garbage at padded rows leaks
+# into out / dW.
 # --------------------------------------------------------------------------- #
 
+def _no_center(a):
+    """Drop tap 13 (center/self) from a leading 27-tap axis."""
+    return jnp.concatenate([a[:13], a[14:]], axis=0)
+
+
+def _self_mask(x, nbr13, cdt):
+    """Zero rows whose center tap is the sentinel (padded voxels)."""
+    return jnp.where((nbr13 != x.shape[0])[:, None], x.astype(cdt), 0)
+
+
 def _subm3_impl(feats, w, nbr_idx, cdt):
-    g = pad_row(feats.astype(cdt))[nbr_idx.T]          # [27, V, Cin]
-    return jnp.einsum("kvc,kco->vo", g, w.astype(cdt),
-                      precision=_prec(cdt),
-                      preferred_element_type=jnp.float32)
+    nbrT = nbr_idx.T
+    wc = w.astype(cdt)
+    g = pad_row(feats.astype(cdt))[_no_center(nbrT)]   # [26, V, Cin]
+    out = jnp.einsum("kvc,kco->vo", g, _no_center(wc),
+                     precision=_prec(cdt),
+                     preferred_element_type=jnp.float32)
+    return out + jnp.dot(_self_mask(feats, nbrT[13], cdt), wc[13],
+                         precision=_prec(cdt),
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -89,19 +113,36 @@ def _subm3_fwd(feats, w, nbr_idx, cdt):
 
 def _subm3_bwd(cdt, res, dout):
     feats, w, nbr_idx = res
-    # gd[k, u] = dout[nbr(u, k)] (zero where missing).  The mirror reversal
-    # is applied to the TINY tensors (w rows / dw output), never to gd —
-    # reversing the [27, V, Cout] gather output materializes a full copy
-    # (~50 ms/step of reverse+copy in the train profile).
-    gd = pad_row(dout.astype(cdt))[nbr_idx.T]          # [27, V, Cout]
-    # dfeats[u] = sum_k dout[nbr(u, k)] @ W[26-k]^T.
-    dfeats = jnp.einsum("kvo,kco->vc", gd, w.astype(cdt)[::-1],
-                        precision=_prec(cdt),
-                        preferred_element_type=jnp.float32).astype(feats.dtype)
-    # dW[26-k] = feats^T @ scattered(dout at offset 26-k) = feats^T @ gd[k].
-    dw = jnp.einsum("vc,kvo->kco", feats.astype(cdt), gd,
-                    precision=_prec(cdt),
-                    preferred_element_type=jnp.float32)[::-1].astype(w.dtype)
+    nbrT = nbr_idx.T
+    wc = w.astype(cdt)
+    # gd[j, u] = dout[nbr(u, k_j)] for the 26 non-center taps (zero where
+    # missing).  The mirror reversal is applied to the TINY tensors (w rows
+    # / dw output), never to gd — reversing the [26, V, Cout] gather output
+    # materializes a full copy (~50 ms/step of reverse+copy in the train
+    # profile).  Deleting the center from the 27-row stack keeps the mirror
+    # pairing intact: row j of gd26 pairs with row j of _no_center(w)[::-1]
+    # (tap 0 <-> w26, ..., tap 12 <-> w14, tap 14 <-> w12, ...).
+    gd = pad_row(dout.astype(cdt))[_no_center(nbrT)]   # [26, V, Cout]
+    d_masked = _self_mask(dout, nbrT[13], cdt)
+    # dfeats[u] = sum_{k != 13} dout[nbr(u, k)] @ W[26-k]^T + dout[u] @ W13^T.
+    dfeats = (jnp.einsum("kvo,kco->vc", gd, _no_center(wc)[::-1],
+                         precision=_prec(cdt),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("vo,co->vc", d_masked, wc[13],
+                           precision=_prec(cdt),
+                           preferred_element_type=jnp.float32)
+              ).astype(feats.dtype)
+    # dW[26-k] = feats^T @ scattered(dout at offset 26-k) = feats^T @ gd[k];
+    # the reversed 26-row einsum output lists dw slots in center-less order
+    # (0..12, 14..26), so dw13 = feats^T @ masked dout is inserted at 13.
+    dw26 = jnp.einsum("vc,kvo->kco", feats.astype(cdt), gd,
+                      precision=_prec(cdt),
+                      preferred_element_type=jnp.float32)[::-1]
+    dw13 = jnp.einsum("vc,vo->co", feats.astype(cdt), d_masked,
+                      precision=_prec(cdt),
+                      preferred_element_type=jnp.float32)
+    dw = jnp.concatenate([dw26[:13], dw13[None], dw26[13:]],
+                         axis=0).astype(w.dtype)
     return dfeats, dw, _float0(nbr_idx)
 
 
