@@ -55,7 +55,7 @@ def _record(i, n_points=N_POINTS):
     gen = SyntheticSCN(split=("test",), num_scans=1, num_points=n_points,
                        image_height=H, image_width=W)
     rng = np.random.RandomState(100 + i)
-    points, _ = gen._make_scan(rng)
+    points, _, _ = gen._make_scan(rng)
     return {
         "points": points,
         "feats": np.concatenate(

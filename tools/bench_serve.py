@@ -63,7 +63,7 @@ def make_records(n):
     records = []
     for i in range(n):
         rng = np.random.RandomState(7_000 + i)
-        points, _ = gen._make_scan(rng)
+        points, _, _ = gen._make_scan(rng)
         records.append({
             "points": points,
             "feats": np.concatenate(

@@ -130,7 +130,7 @@ def _selftest(cfg, port, n_scans):
     ok = 0
     for i in range(n_scans):
         rng = np.random.RandomState(1000 + i)
-        points, _ = gen._make_scan(rng)
+        points, _, _ = gen._make_scan(rng)
         record = {
             "points": points,
             "feats": np.concatenate(
