@@ -266,16 +266,19 @@ class DistributedTrainer(SemanticTrainer):
             # Checkpoints are canonical tp=1 layout; so must the in-memory
             # fallback state be when no checkpoint exists yet.
             self.state = self._merged_state(self.state)
-        # SaverRestoreIOU: restore newest max-MeanIoU-*.ckpt (:319-335).
+        # SaverRestoreIOU: restore newest max-MeanIoU-*.ckpt (:319-335);
+        # fall back to the plain trainer's manifest (last best-epoch save)
+        # so a plain-trained run can be dumped/evaluated through this path
+        # too (the reference's two flows can't cross-restore; ours can).
         self.checkpointer.wait()     # async saves must land before listing
         candidates = sorted(
             p for p in os.listdir(self.output_dir)
             if p.startswith("max-MeanIoU-")) if self.output_dir else []
-        if candidates:
-            payload = self.checkpointer.load(
-                osp.join(self.output_dir, candidates[-1]), resume=False)
-            from flax import serialization
-
+        restore_path = (osp.join(self.output_dir, candidates[-1])
+                        if candidates else
+                        self.checkpointer.get_checkpoint_file())
+        if restore_path:
+            payload = self.checkpointer.load(restore_path, resume=False)
             from fusiontransformer_tpu.modules.steps import TrainState
             self.state = TrainState(
                 payload.get("params", self.state.params),
