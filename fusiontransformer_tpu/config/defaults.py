@@ -70,6 +70,12 @@ _C.SCHEDULER.MultiStepLR.gamma = 0.1
 # ---------------------------------------------------------------------------- #
 _C.TRAIN = CN()
 _C.TRAIN.BATCH_SIZE = 1
+# Accumulate gradients over k micro-batches before each optimizer update
+# (beyond-parity: the reference has no accumulation — SURVEY §2.3).  The
+# effective batch is BATCH_SIZE * GRAD_ACCUM_STEPS with unchanged memory:
+# the optimizer is wrapped in optax.MultiSteps, so the train step stays one
+# jitted program and the accumulator lives in opt_state.
+_C.TRAIN.GRAD_ACCUM_STEPS = 1
 _C.TRAIN.CHECKPOINT_PERIOD = 0
 _C.TRAIN.LOG_PERIOD = 50
 _C.TRAIN.SUMMARY_PERIOD = 0

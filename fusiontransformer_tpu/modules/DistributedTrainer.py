@@ -85,6 +85,12 @@ class DistributedTrainer(SemanticTrainer):
             from fusiontransformer_tpu.parallel import zero as zero_lib
 
             assert self.nproc == 1, "TPU.ZERO_OPTIMIZER is single-host for now"
+            accum = (int(cfg.TRAIN.GRAD_ACCUM_STEPS)
+                     if "GRAD_ACCUM_STEPS" in cfg.TRAIN else 1)
+            assert accum <= 1, (
+                "TPU.ZERO_OPTIMIZER does not compose with "
+                "TRAIN.GRAD_ACCUM_STEPS: the MultiSteps grad accumulator is "
+                "full-size per step and must not be moment-sharded")
             self._zero = zero_lib
             import jax.numpy as jnp
             self._zero_template = jax.tree_util.tree_map(

@@ -86,7 +86,25 @@ def build_optimizer(cfg, steps_per_epoch: int = 1):
                                           optax.scale_by_learning_rate(
                                               learning_rate)))(
         learning_rate=schedule(0))
+
+    accum = (int(cfg.TRAIN.GRAD_ACCUM_STEPS)
+             if "GRAD_ACCUM_STEPS" in cfg.TRAIN else 1)
+    if accum > 1:
+        # Gradient accumulation: average grads over k micro-batches, apply
+        # one inner update every k-th call.  Params are bit-identical for
+        # the k-1 intermediate calls, so the train step program is unchanged
+        # and the accumulator rides in opt_state (checkpointed like any
+        # other moment).  Beyond reference parity (SURVEY §2.3: none).
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
     return opt, schedule
+
+
+def _hyperparams_dict(opt_state):
+    """The injected-hyperparams dict, descending through wrapper states
+    (optax.MultiSteps nests the real state in ``inner_opt_state``)."""
+    while not hasattr(opt_state, "hyperparams"):
+        opt_state = opt_state.inner_opt_state
+    return opt_state.hyperparams
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -96,11 +114,12 @@ def set_learning_rate(opt_state, lr: float):
     step was traced with (concrete f32 array, not a weak-typed python
     float) — a weak-typed leaf changes the jit cache key and forces a full
     retrace of the train step at every epoch boundary (~90 s each)."""
-    prev = opt_state.hyperparams["learning_rate"]
+    hp = _hyperparams_dict(opt_state)
+    prev = hp["learning_rate"]
     dtype = getattr(prev, "dtype", jnp.float32)
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=dtype)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=dtype)
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_hyperparams_dict(opt_state)["learning_rate"])
