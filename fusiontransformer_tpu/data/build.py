@@ -76,19 +76,12 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
         assert max(buckets) == cfg.TPU.POINT_CAPACITY, (
             f"max(TPU.CAPACITY_BUCKETS)={max(buckets)} must equal "
             f"TPU.POINT_CAPACITY={cfg.TPU.POINT_CAPACITY}")
-        if use_distributed and world_size > 1:
-            # Bucket choice is per-host (each host's collate sees only its
-            # own scans); different hosts would jit different bucket shapes
-            # for the same step.  Collectives are bucket-shape-independent so
-            # this is *correct*, but desynchronized recompiles stall the
-            # first encounter of every bucket — run multi-host with a single
-            # fixed capacity.
-            import logging
-            logging.getLogger("fusiontransformer").warning(
-                "TPU.CAPACITY_BUCKETS is per-host; disabling bucketing for "
-                "distributed run (world_size=%d) to keep step shapes "
-                "rank-synchronized.", world_size)
-            buckets = ()
+        # Multi-host: each host's collate picks the bucket for ITS shard;
+        # the distributed trainer re-pads every batch to the global max
+        # bucket before the (cross-host) train step so all ranks trace the
+        # same shapes (DistributedTrainer._sync_bucket_capacity — one tiny
+        # int allgather per step).  Host-local eval steps have no cross-host
+        # collectives and need no synchronization.
     collate = get_collate(is_train=is_train, batch_size=batch_size,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
                           image_height=image_height, image_width=image_width,

@@ -37,7 +37,16 @@ def map_sparse_to_org(x, inverse_map):
 
 
 def validate(cfg, eval_step, state, dataloader, val_metric_logger,
-             logger_name=None):
+             logger_name=None, cm_allreduce=None, log_tables=True):
+    """Eval loop -> per-class IoU tables (reference ``data/utils/validate.py``).
+
+    ``cm_allreduce``: optional callable summing a confusion matrix across
+    processes (multi-host sharded eval — each host scores only its shard of
+    the val set and the global tables come from the reduced matrix, the
+    torchpack ``MeanIoU`` allreduce, reference ``TorchpackCallbacks.py:84-89``).
+    Loss meters stay host-local (rank 0's shard) like the reference's.
+    ``log_tables=False`` silences the per-class tables on non-master ranks.
+    """
     logger = logging.getLogger(
         logger_name or f"FusionTransformer.{cfg['MODEL']['TYPE']}.validate")
     logger.info("Validation")
@@ -147,6 +156,11 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
     val_metric_logger.update(collate_dropped=total_collate_dropped,
                              oob_points=oob_per_mod)
 
+    if cm_allreduce is not None:
+        for ev in (evaluator_2d, evaluator_3d, evaluator_ensemble):
+            if ev is not None:
+                ev.confusion_matrix = cm_allreduce(ev.confusion_matrix)
+
     eval_list = []
     if evaluator_2d is not None:
         val_metric_logger.update(seg_iou_2d=evaluator_2d.overall_iou)
@@ -157,7 +171,7 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
     if evaluator_ensemble is not None:
         eval_list.append(("2D+3D", evaluator_ensemble))
 
-    for modality, evaluator in eval_list:
+    for modality, evaluator in (eval_list if log_tables else []):
         logger.info("%s overall accuracy=%.2f%%", modality,
                     100.0 * evaluator.overall_acc)
         logger.info("%s overall IOU=%.2f", modality,

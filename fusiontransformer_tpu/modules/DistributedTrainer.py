@@ -69,10 +69,15 @@ class DistributedTrainer(SemanticTrainer):
                 cfg, mode="train", use_distributed=True, rank=self.rank,
                 world_size=self.nproc, seed=self.rank,
                 batch_size=bs // self.nproc)
-            # Validation: every process evaluates the FULL val set with the
-            # base single-device eval step (identical inputs -> identical
-            # metrics on every rank; only rank 0 logs/saves).  Sharded eval
-            # across hosts would leave predictions non-addressable.
+            # Sharded validation (DistributedSampler over hosts, reference
+            # TorchpackInterface.py:68-71): each process scores only its
+            # 1/nproc shard host-side, then the per-class confusion matrices
+            # are summed across processes (_val_cm_allreduce) — global
+            # tables identical on every rank, no duplicated eval work.
+            if cfg.VAL.PERIOD > 0:
+                self.val_dataloader = build_dataloader(
+                    cfg, mode="val", use_distributed=True, rank=self.rank,
+                    world_size=self.nproc)
             self.steps_per_epoch = max(1, len(self.train_dataloader))
 
         self.zero_optimizer = bool(cfg.TPU.ZERO_OPTIMIZER) \
@@ -84,9 +89,12 @@ class DistributedTrainer(SemanticTrainer):
             # checkpoint holds the canonical layout).
             from fusiontransformer_tpu.parallel import zero as zero_lib
 
-            assert self.nproc == 1, "TPU.ZERO_OPTIMIZER is single-host for now"
-            accum = (int(cfg.TRAIN.GRAD_ACCUM_STEPS)
-                     if "GRAD_ACCUM_STEPS" in cfg.TRAIN else 1)
+            # Multi-host OK: moments shard 1/n over the GLOBAL data axis
+            # exactly like single-host (the zero1 all_gather then rides DCN
+            # across hosts — one params-sized gather per step; see
+            # docs/PARALLELISM.md).  Exercised by the 2-process case in
+            # tests/test_multihost_launcher.py.
+            accum = int(cfg.TRAIN.GRAD_ACCUM_STEPS)
             assert accum <= 1, (
                 "TPU.ZERO_OPTIMIZER does not compose with "
                 "TRAIN.GRAD_ACCUM_STEPS: the MultiSteps grad accumulator is "
@@ -142,6 +150,11 @@ class DistributedTrainer(SemanticTrainer):
         assert not cfg.TPU.get("ZERO_OPTIMIZER", False), (
             "TPU.ZERO_OPTIMIZER composes with data parallelism only; "
             "unset it or MODEL_PARALLEL")
+        assert int(cfg.TRAIN.GRAD_ACCUM_STEPS) <= 1, (
+            "TPU.MODEL_PARALLEL > 1 does not compose with "
+            "TRAIN.GRAD_ACCUM_STEPS yet: split_params_for_tp would split "
+            "the MultiSteps acc_grads accumulator by param-path rules, "
+            "which is untested — run TP with accumulation disabled")
         self.zero_optimizer = False
         assert n_dev % mp == 0, (
             f"TPU.NUM_DEVICES={n_dev} must be a multiple of "
@@ -191,7 +204,34 @@ class DistributedTrainer(SemanticTrainer):
             # jit + shard_map's in_specs place the host batch over the data
             # axis; TP params already carry their stacked rank axis.
             return _device_batch(batch)
+        if self.nproc > 1 and tuple(self.cfg.TPU.CAPACITY_BUCKETS):
+            batch = self._sync_bucket_capacity(batch)
         return shard_batch(_device_batch(batch), self.mesh)
+
+    def _sync_bucket_capacity(self, batch):
+        """Rank-synchronized capacity bucketing: each host's collate picked
+        the bucket for ITS scans; re-pad to the global max so every rank
+        traces the same train-step shapes.  Cost: one int allgather per step
+        (compiled once) + an occasional host-side pad."""
+        from jax.experimental import multihost_utils
+
+        b_local = int(len(batch["scan_count"]))
+        cap = len(batch["pt_valid"]) // b_local
+        caps = multihost_utils.process_allgather(
+            np.asarray([cap], np.int32))
+        target = int(np.asarray(caps).max())
+        if target == cap:
+            return batch
+        out = dict(batch)
+        for k in ("coords", "feats", "seg_label", "pt_batch", "pt_valid",
+                  "img_indices"):
+            if k in batch:
+                v = np.asarray(batch[k]).reshape(
+                    b_local, cap, *np.shape(batch[k])[1:])
+                pad = [(0, 0), (0, target - cap)] + [(0, 0)] * (v.ndim - 2)
+                out[k] = np.pad(v, pad).reshape(
+                    b_local * target, *v.shape[2:])
+        return out
 
     # ------------------------------------------------------------------ #
     def update_checkpoint(self, epoch):
@@ -203,7 +243,8 @@ class DistributedTrainer(SemanticTrainer):
             return
         if any(self.best_metric_epoch.get(m) == epoch
                for m in self.modalities):
-            extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step)}
+            extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step),
+                 "grad_accum_steps": int(self.cfg.TRAIN.GRAD_ACCUM_STEPS)}
             for m in self.modalities:
                 if self.best_metric[m] is not None:
                     extra[f"{m}_{self.best_metric_name}"] = float(
@@ -217,7 +258,7 @@ class DistributedTrainer(SemanticTrainer):
             elif self.zero_optimizer:
                 # Same for ZeRO: canonical optimizer layout on disk.
                 opt_state = self._zero.merge_opt_state(
-                    opt_state, self._zero_template)
+                    self._zero_host_state(opt_state), self._zero_template)
             self.checkpointer.save(
                 f"max-MeanIoU-{epoch:06d}",
                 tree={"params": params,
@@ -240,8 +281,9 @@ class DistributedTrainer(SemanticTrainer):
                 opt_state=self._merge_jit(self.state.opt_state))
         elif self.zero_optimizer:
             merged = self.state._replace(
-                opt_state=self._zero.merge_opt_state(self.state.opt_state,
-                                                     self._zero_template))
+                opt_state=self._zero.merge_opt_state(
+                    self._zero_host_state(self.state.opt_state),
+                    self._zero_template))
         else:
             merged = self.state
         orig, self.state = self.state, merged
@@ -292,7 +334,12 @@ class DistributedTrainer(SemanticTrainer):
                 self.state.opt_state, self.state.step)
             self.state = replicate(self.state, self.mesh)
 
-        test_loader = build_dataloader(self.cfg, mode="test")
+        # Sharded test: each process scores (and dumps) its own shard,
+        # matching SavePredictions' per-rank behavior; the confusion
+        # matrices are reduced globally below.
+        test_loader = build_dataloader(
+            self.cfg, mode="test", use_distributed=self.nproc > 1,
+            rank=self.rank, world_size=self.nproc)
         eval_fn, _ = make_eval_step(self.cfg, self.model,
                                     self.cfg.TEST.BATCH_SIZE)
         eval_step = jax.jit(eval_fn)
@@ -328,6 +375,40 @@ class DistributedTrainer(SemanticTrainer):
                     np.savez(osp.join(pred_dir, name), **dump)
             self.logger.info("Saved predictions to %s", pred_dir)
 
-        validate(self.cfg, eval_step, self.state, test_loader, metric_logger)
+        validate(self.cfg, eval_step, self.state, test_loader, metric_logger,
+                 cm_allreduce=self._val_cm_allreduce(),
+                 log_tables=self.rank == 0)
         self.logger.info("Test %s", metric_logger.summary_str)
         return metric_logger
+
+    # ------------------------------------------------------------------ #
+    def _zero_host_state(self, opt_state):
+        """Host-local numpy view of the (possibly cross-host-sharded)
+        stacked ZeRO state: multi-host runs shard the [n, chunk] leaves
+        over processes, so checkpoint merging first gathers them back to a
+        replicated layout every host can read."""
+        if getattr(self, "nproc", 1) <= 1:
+            return opt_state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = jax.jit(
+            lambda t: t,
+            out_shardings=NamedSharding(self.mesh, P()))(opt_state)
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(rep))
+
+    # ------------------------------------------------------------------ #
+    def _val_cm_allreduce(self):
+        """Sum host-side confusion matrices across processes (the torchpack
+        ``MeanIoU``/``iouEval`` allreduce, reference
+        ``TorchpackCallbacks.py:84-89,195``).  The matrix is tiny ([C+1, C+1]
+        ints), so one allgather per validation run is negligible."""
+        if getattr(self, "nproc", 1) <= 1:
+            return None
+
+        def reduce_cm(cm):
+            from jax.experimental import multihost_utils
+            stacked = multihost_utils.process_allgather(
+                np.asarray(cm, np.float64))
+            return np.asarray(stacked).sum(0)
+
+        return reduce_cm

@@ -103,6 +103,14 @@ class SemanticTrainer:
 
         self.tx, self.lr_schedule = build_optimizer(cfg, steps_per_epoch)
         self.steps_per_epoch = steps_per_epoch
+        accum = int(cfg.TRAIN.GRAD_ACCUM_STEPS)
+        if accum > 1 and steps_per_epoch % accum != 0:
+            self.logger.warning(
+                "steps_per_epoch (%d) is not a multiple of "
+                "TRAIN.GRAD_ACCUM_STEPS (%d): accumulation windows straddle "
+                "epoch boundaries — the per-epoch LR change lands mid-window "
+                "and the final partial window of the run is discarded",
+                steps_per_epoch, accum)
 
         self.state = init_train_state(cfg, self.model, self.tx,
                                       cfg.TRAIN.BATCH_SIZE, cfg.RNG_SEED)
@@ -170,8 +178,25 @@ class SemanticTrainer:
         opt_state = self.state.opt_state
         if payload.get("opt_state") is not None:
             from flax import serialization
-            opt_state = serialization.from_state_dict(
-                self.state.opt_state, payload["opt_state"])
+            saved_k = payload.get("grad_accum_steps")
+            cur_k = int(self.cfg.TRAIN.GRAD_ACCUM_STEPS)
+            if saved_k is not None and int(saved_k) != cur_k:
+                raise ValueError(
+                    f"checkpoint was saved with TRAIN.GRAD_ACCUM_STEPS="
+                    f"{int(saved_k)} but the run has {cur_k}: the optimizer "
+                    "state layout depends on it — set the same value, or "
+                    "resume with RESUME_STATES False to drop the optimizer "
+                    "state")
+            try:
+                opt_state = serialization.from_state_dict(
+                    self.state.opt_state, payload["opt_state"])
+            except Exception as e:
+                raise ValueError(
+                    "optimizer-state restore failed (tree mismatch). The "
+                    "opt_state layout depends on TRAIN.GRAD_ACCUM_STEPS "
+                    "(optax.MultiSteps wraps the state when > 1) — make "
+                    "sure it matches the checkpoint's value, or resume "
+                    f"with RESUME_STATES False. Original error: {e}") from e
         step = jnp.asarray(payload.get("step", 0), jnp.int32)
         self.state = TrainState(params, bs, opt_state, step)
         # Scalar bookkeeping (epoch, best metrics) for resume.
@@ -334,9 +359,16 @@ class SemanticTrainer:
                 or epoch == self.cfg.SCHEDULER.MAX_EPOCH - 1):
             self.val_metric_logger.reset()
             validate(self.cfg, self.eval_step_fn, self.state,
-                     self.val_dataloader, self.val_metric_logger)
+                     self.val_dataloader, self.val_metric_logger,
+                     cm_allreduce=self._val_cm_allreduce(),
+                     log_tables=self._is_master)
             return True
         return False
+
+    def _val_cm_allreduce(self):
+        """Cross-process confusion-matrix sum for sharded eval; the plain
+        trainer is single-process (None = no reduction)."""
+        return None
 
     def update_validation_logging_meters(self, epoch):
         if not self.val_metric_logger.meters:
@@ -367,7 +399,8 @@ class SemanticTrainer:
             # 'epoch' stores the NEXT epoch to run, so resume continues after
             # the checkpointed one (the reference stores the raw index but its
             # plain trainer never actually resumes the loop; we do).
-            extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step)}
+            extra = {"epoch": epoch + 1, "step": np.asarray(self.state.step),
+                 "grad_accum_steps": int(self.cfg.TRAIN.GRAD_ACCUM_STEPS)}
             for m in self.modalities:
                 if self.best_metric[m] is not None:
                     extra[f"{m}_{self.best_metric_name}"] = float(
@@ -406,7 +439,8 @@ class SemanticTrainer:
     def _save_preemption_checkpoint(self, epoch):
         """Checkpoint that resumes INTO the interrupted epoch (plain
         checkpoints store epoch+1 — see update_checkpoint)."""
-        extra = {"epoch": epoch, "step": np.asarray(self.state.step)}
+        extra = {"epoch": epoch, "step": np.asarray(self.state.step),
+                 "grad_accum_steps": int(self.cfg.TRAIN.GRAD_ACCUM_STEPS)}
         for m in self.modalities:
             if self.best_metric[m] is not None:
                 extra[f"{m}_{self.best_metric_name}"] = float(

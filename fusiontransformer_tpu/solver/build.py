@@ -87,8 +87,7 @@ def build_optimizer(cfg, steps_per_epoch: int = 1):
                                               learning_rate)))(
         learning_rate=schedule(0))
 
-    accum = (int(cfg.TRAIN.GRAD_ACCUM_STEPS)
-             if "GRAD_ACCUM_STEPS" in cfg.TRAIN else 1)
+    accum = int(cfg.TRAIN.GRAD_ACCUM_STEPS)
     if accum > 1:
         # Gradient accumulation: average grads over k micro-batches, apply
         # one inner update every k-th call.  Params are bit-identical for

@@ -45,6 +45,20 @@ class CheckpointerV2:
         self._pending = None             # background writer thread
         self._write_error = None         # failure from the last async write
         self._saved = self._load_manifest_list()
+        self._gc_orphaned_tmp()
+
+    def _gc_orphaned_tmp(self):
+        """Remove half-written ``*.orbax-checkpoint-tmp*`` dirs left behind by
+        an interrupted async save (they are never valid restore targets and
+        orbax's own GC only runs under a CheckpointManager)."""
+        if not self.save_dir or not osp.isdir(self.save_dir):
+            return
+        for entry in os.listdir(self.save_dir):
+            if ".orbax-checkpoint-tmp" in entry:
+                victim = osp.join(self.save_dir, entry)
+                self.logger.info(
+                    "Removing orphaned interrupted checkpoint %s", victim)
+                shutil.rmtree(victim, ignore_errors=True)
 
     # -- manifest -----------------------------------------------------------
     def _manifest_path(self):
@@ -158,7 +172,8 @@ class CheckpointerV2:
             self.logger.info("No checkpoint found; training from scratch.")
             return {}
         path = osp.abspath(path)
-        self.logger.info("Loading checkpoint from %s", path)
+        self.logger.info("Loading checkpoint from %s, MD5: %s", path,
+                         checkpoint_md5(path))
         if _HAS_ORBAX and osp.isdir(path):
             payload = ocp.PyTreeCheckpointer().restore(path)
         else:  # pragma: no cover
@@ -168,6 +183,25 @@ class CheckpointerV2:
             payload = {k: v for k, v in payload.items()
                        if k not in ("opt_state", "epoch")}
         return payload
+
+
+def checkpoint_md5(path):
+    """MD5 of a checkpoint for the load log line (reference
+    ``common/utils/checkpoint.py:73``).  Orbax checkpoints are directories,
+    so hash every file's content in sorted relative-path order."""
+    from fusiontransformer_tpu.utils.io import get_md5
+
+    if osp.isfile(path):
+        return get_md5(path)
+    import hashlib
+
+    h = hashlib.md5()
+    for root, _, files in sorted(os.walk(path)):
+        for fn in sorted(files):
+            fp = osp.join(root, fn)
+            h.update(osp.relpath(fp, path).encode())
+            h.update(get_md5(fp).encode())
+    return h.hexdigest()
 
 
 # Backwards-parity alias (the reference also exposes plain Checkpointer).
