@@ -128,9 +128,9 @@ def _nbr_from_26(level: "Level", nbr26):
 def _corner_weights(points, lshift: int):
     """Trilinear corner weights at a coarser level.
 
-    Mirrors torchsparse ``calc_ti_weights`` semantics (reference
-    ``models/utils.py:81-87``): weights of absent corners are zeroed and NOT
-    renormalized (zeroing happens in the caller once indices are known).
+    Raw trilinear weights from the in-voxel fractional position; the caller
+    zeroes absent corners and renormalizes over the present ones, mirroring
+    torchsparse ``calc_ti_weights`` (reference ``models/utils.py:81-87``).
     """
     frac = (points & ((1 << lshift) - 1)).astype(jnp.float32) / float(1 << lshift)
     w_list = []
@@ -404,6 +404,12 @@ def build_hierarchy(coords, batch_idx, valid,
             idx8 = jnp.where(valid[:, None], idx8, cap)
             w8 = _corner_weights(coords, l)
             w8 = jnp.where(idx8 == cap, 0.0, w8)
+            # torchsparse ``calc_ti_weights`` renormalizes over the PRESENT
+            # corners (``w /= w.sum(0) + 1e-8``) — interpolation over the
+            # partial corner neighborhood, which is most surface voxels at
+            # coarse strides.  Verified end-to-end by tools/check_parity.py
+            # (without this, full-model logits diverge by ~9e-2).
+            w8 = w8 / (jnp.sum(w8, axis=1, keepdims=True) + 1e-8)
             pt_corner_idx[l] = idx8
             pt_corner_w[l] = w8
             pt_voxel_idx[l] = jnp.where(valid, idx8[:, 0], cap)

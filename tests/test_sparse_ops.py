@@ -177,7 +177,11 @@ def test_trilinear_devoxelize_weights(rng):
     out = np.asarray(sc.devoxelize_trilinear(
         jnp.asarray(vf), h.pt_corner_idx[2], h.pt_corner_w[2]))
 
-    # NumPy oracle: trilinear over existing corners, absent corners weight 0.
+    # NumPy oracle: trilinear over existing corners — absent corners weight 0
+    # and the remaining weights renormalized over the PRESENT corners,
+    # mirroring torchsparse ``calc_ti_weights`` (``w /= w.sum(0) + 1e-8``;
+    # reference ``models/utils.py:81-87``).  Pinned end-to-end by the
+    # shared-weights logit parity harness (tools/check_parity.py).
     key2 = {}
     c2 = np.asarray(l2.coords)[:n2]
     b2 = np.asarray(l2.batch)[:n2]
@@ -189,6 +193,7 @@ def test_trilinear_devoxelize_weights(rng):
         base = np.floor(p / s).astype(int)
         f = p / s - base
         ref = np.zeros(c, np.float64)
+        wsum = 0.0
         for bx in (0, 1):
             for by in (0, 1):
                 for bz in (0, 1):
@@ -200,6 +205,8 @@ def test_trilinear_devoxelize_weights(rng):
                            (f[1] if by else 1 - f[1]) *
                            (f[2] if bz else 1 - f[2]))
                     ref += wgt * vf[idx]
+                    wsum += wgt
+        ref /= wsum + 1e-8
         np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-5)
 
 
