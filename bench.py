@@ -143,9 +143,21 @@ def build_flagship(batch_size):
     # not occupancy, so tight caps are a direct throughput win.
     cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
-    # Compact conv tap slots stay OFF: the binned-slot path measured 36.8
-    # scans/s vs 38.5 dense here (see ops/sparse_conv.py binned-slot notes
-    # and ROADMAP — the rebinning pass eats the 27/K gather-row saving).
+    # Conv backend (overridable for A/B via env):
+    #   FTX_BENCH_TAP_SLOTS=K  -> K-slot maps at L0-L3 (L4 is all 256-ch
+    #                             convs, which keep the dense path)
+    #   FTX_BENCH_PALLAS=0     -> XLA one-hot rebinning instead of the
+    #                             fused Pallas kernel (measured-rejected)
+    # Default: fused Pallas binned conv, K=16 — the XLA binned path
+    # measured 36.8 vs 38.5 dense (the rebinning pass eats the row saving);
+    # the fused kernel keeps the binned tile in VMEM and wins 1.3-2.7x per
+    # conv at <=128-ch shapes (tools/microbench_binned_conv.py).
+    k_env = int(os.environ.get("FTX_BENCH_TAP_SLOTS", "16"))
+    if k_env:
+        cfg.TPU.CONV_TAP_SLOTS = (k_env, k_env, k_env, k_env, 0)
+        cfg.TPU.CONV_PALLAS = os.environ.get("FTX_BENCH_PALLAS", "1") == "1"
+    from fusiontransformer_tpu.ops import sparse_conv as sc_backend
+    sc_backend.set_slot_backend("pallas" if cfg.TPU.CONV_PALLAS else "xla")
     caps = level_caps_from_cfg(cfg, batch_size)
     tap_slots = tuple(cfg.TPU.CONV_TAP_SLOTS)
 

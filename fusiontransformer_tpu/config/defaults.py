@@ -250,6 +250,18 @@ _C.TPU.L0_CAPACITY_FRACTION = 1.0
 # are sized for worst-case sparse clouds; tighten per dataset using the
 # per-step overflow metric (metrics["voxel_overflow"], 0 == lossless).
 _C.TPU.LEVEL_CAPACITY_FRACTIONS = (1.0, 0.9, 0.8, 0.7)
+# Occupancy-compacted voxel capacities: the collate counts each batch's
+# EXACT per-level unique-voxel totals (host-side, a few ms inside the MP
+# workers) and the trainer sizes every level to the smallest
+# ladder-quantized capacity that fits — the fraction knobs above become a
+# safety ceiling instead of the operative size.  Gathers/GEMMs scale with
+# capacity, so conservative fractions stop costing throughput (measured
+# occupancy at the default fractions is 0.16-0.75 per level).  One retrace
+# per distinct capacity tuple (the ~1.3x ladder keeps that to a handful
+# per run; each is logged).  Single-process only — multi-host/multi-device
+# runs keep shape-derived caps (rank-divergent capacities would compile
+# different programs per rank).
+_C.TPU.ADAPTIVE_LEVEL_CAPS = False
 # Compact conv tap slots per level (K), empty (default) = dense 27-tap
 # gathers.  When set, ks=3 convs gather only the K live source rows per
 # voxel and rebin them tap-major with a one-hot MXU contraction
@@ -262,6 +274,14 @@ _C.TPU.LEVEL_CAPACITY_FRACTIONS = (1.0, 0.9, 0.8, 0.7)
 # headroom; tools/derive_buckets.py reports tap-count percentiles).
 # 0 at a level = dense path there.
 _C.TPU.CONV_TAP_SLOTS = ()
+# Run the K-slot ks=3 convs through the fused Pallas binning kernel
+# (ops/pallas/binned_conv.py) instead of the XLA one-hot rebinning.  The
+# kernel keeps the tap-major tensor in VMEM (no extra HBM pass), measured
+# 1.3-2.7x per conv at <=128-channel shapes on v5e; convs with
+# max(Cin, Cout) > 128 or Cin < 16 keep the dense path (measured slower
+# there — see tools/microbench_binned_conv.py).  Requires CONV_TAP_SLOTS
+# with K a multiple of 16.
+_C.TPU.CONV_PALLAS = False
 # Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.

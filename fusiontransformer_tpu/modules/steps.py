@@ -81,14 +81,47 @@ def level_caps_from_cfg(cfg, batch_size: int):
     return level_caps_for_n(cfg, batch_size * cfg.TPU.POINT_CAPACITY)
 
 
+def _ladder_cap(count: int) -> int:
+    """Smallest ladder capacity >= count: 128-multiples on a ~1.25x
+    geometric grid, so retraces stay a handful per run while capacity
+    tracks occupancy within ~25%."""
+    n = max(1, -(-int(count) // 128))
+    lad = 1
+    while lad < n:
+        lad = max(lad + 1, int(lad * 1.25))
+    return lad * 128
 
-def _hier_from_cfg(cfg, batch):
-    """Hierarchy sized from the batch's (static) buffer, with the cfg's
-    compact conv-tap slots when enabled."""
+
+def adaptive_level_caps(cfg, n_total: int, level_counts):
+    """Occupancy-compacted capacities (TPU.ADAPTIVE_LEVEL_CAPS): the exact
+    per-level unique-voxel counts the collate measured, rounded up the
+    ladder; the shape-derived static caps stay as a ceiling.  Gathers and
+    GEMMs scale with capacity, so this sizes every level to the batch's
+    data instead of the config's worst case (reference torchsparse sizes
+    its buffers dynamically per scan — this is the static-shape analog)."""
+    static = level_caps_for_n(cfg, n_total)
+    return tuple(min(s, _ladder_cap(c))
+                 for s, c in zip(static, list(level_counts)))
+
+
+
+def _hier_from_cfg(cfg, batch, level_caps=None):
+    """Hierarchy sized from the batch's (static) buffer — or from explicit
+    occupancy-compacted capacities — with the cfg's compact conv-tap slots
+    when enabled."""
     ts = tuple(cfg.TPU.CONV_TAP_SLOTS) if "CONV_TAP_SLOTS" in cfg.TPU else ()
+    caps = level_caps or level_caps_for_n(cfg, batch["coords"].shape[0])
     return build_hierarchy(
         batch["coords"], batch["pt_batch"], batch["pt_valid"],
-        level_caps_for_n(cfg, batch["coords"].shape[0]), tap_slots=ts)
+        caps, tap_slots=ts)
+
+
+def _set_conv_backend(cfg):
+    """Route K-slot ks=3 convs to the fused Pallas kernel when configured
+    (trace-time switch; see sparse_conv.set_slot_backend)."""
+    from fusiontransformer_tpu.ops import sparse_conv as sc
+    pallas = bool(cfg.TPU.CONV_PALLAS) if "CONV_PALLAS" in cfg.TPU else False
+    sc.set_slot_backend("pallas" if pallas else "xla")
 
 
 def tap_overflow(hier, tap_slots):
@@ -166,8 +199,9 @@ def _device_batch(batch):
 
 
 def make_train_step(cfg, model, tx, batch_size: int,
-                    axis_name: Optional[str] = None):
-    caps = level_caps_from_cfg(cfg, batch_size)
+                    axis_name: Optional[str] = None, level_caps=None):
+    _set_conv_backend(cfg)
+    caps = level_caps or level_caps_from_cfg(cfg, batch_size)
     class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
                      if cfg.TRAIN.CLASS_WEIGHTS else None)
     use_lidar = cfg.MODEL.USE_LIDAR
@@ -176,8 +210,11 @@ def make_train_step(cfg, model, tx, batch_size: int,
 
     def step(state: TrainState, batch, rng):
         # Capacities follow the batch's (static) buffer size, so bucketed
-        # batches each get right-sized voxel arrays via one retrace/bucket.
-        hier = _hier_from_cfg(cfg, batch) if use_lidar else None
+        # batches each get right-sized voxel arrays via one retrace/bucket;
+        # with TPU.ADAPTIVE_LEVEL_CAPS the trainer passes exact
+        # occupancy-compacted capacities instead.
+        hier = (_hier_from_cfg(cfg, batch, level_caps)
+                if use_lidar else None)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -244,18 +281,19 @@ def make_grads_fn(cfg, model, batch_size: int):
 
 
 def make_eval_step(cfg, model, batch_size: int,
-                   axis_name: Optional[str] = None):
+                   axis_name: Optional[str] = None, level_caps=None):
     """Eval step: per-point predictions + losses (+ ensemble for fusion).
 
     Softmax-sum 2D+3D ensemble parity with ``data/utils/validate.py:67-70``.
     """
-    caps = level_caps_from_cfg(cfg, batch_size)   # largest-bucket caps
+    _set_conv_backend(cfg)
+    caps = level_caps or level_caps_from_cfg(cfg, batch_size)
     class_weights = (jnp.asarray(cfg.TRAIN.CLASS_WEIGHTS, jnp.float32)
                      if cfg.TRAIN.CLASS_WEIGHTS else None)
     use_lidar = cfg.MODEL.USE_LIDAR
 
     def step(state: TrainState, batch):
-        hier = _hier_from_cfg(cfg, batch) if use_lidar else None
+        hier = _hier_from_cfg(cfg, batch, level_caps) if use_lidar else None
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, hier, train=False)

@@ -247,6 +247,78 @@ def _subm3s_bwd(cdt, res, dout):
 _subm3s.defvjp(_subm3s_fwd, _subm3s_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# ks=3 fused Pallas binned path (ops/pallas/binned_conv.py).
+#
+# Same K-slot row reduction as _subm3s, but binning + weight contraction run
+# inside one Mosaic kernel so the [V, 27, C] tap-major tensor B never leaves
+# VMEM — the extra HBM pass and the 3%-of-roofline [K, 27] binning dot that
+# killed the XLA binned path disappear.  Backward is one fused kernel too
+# (bins dout once in VMEM; emits dX via the column-reversed kernel and
+# accumulates dW in VMEM scratch across the grid).  Numerics are exact vs
+# the XLA binned path (0/1 one-hot weights, f32 accumulation).
+# --------------------------------------------------------------------------- #
+
+def _pack_slots_j(x):
+    """[V, K] slot map -> the kernel's grouped [V/8, 8K] layout (and a
+    lane-full int array in HBM: [*, 16]-minor int tiles pad to 128 lanes)."""
+    v, k = x.shape
+    return x.reshape(v // 8, 8 * k)
+
+
+def _subm3p_impl(feats, w, src, tap, cdt):
+    from fusiontransformer_tpu.ops.pallas.binned_conv import binned_conv_fwd
+    cin, cout = w.shape[1], w.shape[2]
+    g = pad_row(feats.astype(cdt))[_pack_slots_j(src)]     # [V/8, 8K, C]
+    return binned_conv_fwd(g, _pack_slots_j(tap),
+                           w.astype(cdt).reshape(27 * cin, cout),
+                           precise=(cdt == jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _subm3p(feats, w, src, tap, cdt):
+    # Lossless slot maps required, exactly like _subm3s (same maps).
+    return _subm3p_impl(feats, w, src, tap, cdt)
+
+
+def _subm3p_fwd(feats, w, src, tap, cdt):
+    return _subm3p_impl(feats, w, src, tap, cdt), (feats, w, src, tap)
+
+
+def _subm3p_bwd(cdt, res, dout):
+    from fusiontransformer_tpu.ops.pallas.binned_conv import binned_conv_bwd
+    feats, w, src, tap = res
+    gd = pad_row(dout.astype(cdt))[_pack_slots_j(src)]     # [V/8, 8K, Co]
+    dx, dw = binned_conv_bwd(gd, _pack_slots_j(tap), feats.astype(cdt),
+                             w.astype(cdt), precise=(cdt == jnp.float32))
+    return (dx.astype(feats.dtype), dw.astype(w.dtype),
+            _float0(src), _float0(tap))
+
+
+_subm3p.defvjp(_subm3p_fwd, _subm3p_bwd)
+
+
+# Trace-time backend for the K-slot path: "xla" = _subm3s one-hot binning,
+# "pallas" = _subm3p fused kernel.  Set by step/bench builders from
+# cfg.TPU.CONV_PALLAS before tracing; a module global (not a call arg)
+# keeps the model-layer API unchanged.
+_SLOT_BACKEND = "xla"
+
+# The fused kernel needs lane-aligned slot groups and pays lane padding on
+# very narrow channels; below this Cin the dense tap-major path stays.
+_PALLAS_MIN_CIN = 16
+# Above 128 channels the per-block weight panel + f32 binned tile crowd
+# VMEM and the kernel measured slower than dense (L3/L4 shapes,
+# tools/microbench_binned_conv.py) — wide convs keep the dense path.
+_PALLAS_MAX_CH = 128
+
+
+def set_slot_backend(name: str):
+    global _SLOT_BACKEND
+    assert name in ("xla", "pallas"), name
+    _SLOT_BACKEND = name
+
+
 def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16, slot_idx=None):
     """ks=3 stride=1 sparse conv.
 
@@ -255,13 +327,23 @@ def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16, slot_idx=None):
       w: [27, Cin, Cout] kernel (offset order per ops.hierarchy docstring).
       nbr_idx: [V, 27] int32 from Level.nbr_idx (sentinel V).
       slot_idx: optional (src [V, K], tap [V, K]) compact slot maps
-        (Level.slot_idx); when given, both passes run the binned K-row
-        gather path above instead of dense 27-row gathers.
+        (Level.slot_idx); when given, both passes run a binned K-row
+        gather path instead of dense 27-row gathers — the XLA one-hot
+        formulation or the fused Pallas kernel per ``set_slot_backend``.
     Returns:
       [V, Cout] float32.
     """
     if slot_idx is not None:
         src, tap = slot_idx
+        if _SLOT_BACKEND == "pallas":
+            if (feats.shape[-1] >= _PALLAS_MIN_CIN
+                    and max(feats.shape[-1], w.shape[-1]) <= _PALLAS_MAX_CH
+                    and feats.shape[0] % 8 == 0
+                    and (8 * src.shape[1]) % 128 == 0):
+                return _subm3p(feats, w, src, tap, compute_dtype)
+            # Shapes the kernel measured slower on fall back to DENSE (the
+            # XLA binned path is never the fastest option on v5e).
+            return _subm3(feats, w, nbr_idx, compute_dtype)
         return _subm3s(feats, w, src, tap, compute_dtype)
     return _subm3(feats, w, nbr_idx, compute_dtype)
 

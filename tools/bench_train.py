@@ -56,6 +56,13 @@ def main():
     cfg.TPU.POINT_CAPACITY = CAPACITY
     cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
+    # Fused Pallas binned conv by default (same A/B envs as bench.py).
+    k_env = int(os.environ.get("FTX_BENCH_TAP_SLOTS", "16"))
+    if k_env:
+        cfg.TPU.CONV_TAP_SLOTS = (k_env, k_env, k_env, k_env, 0)
+        cfg.TPU.CONV_PALLAS = os.environ.get("FTX_BENCH_PALLAS", "1") == "1"
+    from fusiontransformer_tpu.ops import sparse_conv as sc_backend
+    sc_backend.set_slot_backend("pallas" if cfg.TPU.CONV_PALLAS else "xla")
 
     ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
     batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
