@@ -82,10 +82,15 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
         # same shapes (DistributedTrainer._sync_bucket_capacity — one tiny
         # int allgather per step).  Host-local eval steps have no cross-host
         # collectives and need no synchronization.
+    # TPU.ADAPTIVE_LEVEL_CAPS: collate carries exact per-level voxel counts
+    # (host-side ints) so the trainer can size voxel capacities to the data.
+    n_levels = (1 + len(cfg.TPU.LEVEL_CAPACITY_FRACTIONS)
+                if ("ADAPTIVE_LEVEL_CAPS" in cfg.TPU
+                    and cfg.TPU.ADAPTIVE_LEVEL_CAPS) else 0)
     collate = get_collate(is_train=is_train, batch_size=batch_size,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
                           image_height=image_height, image_width=image_width,
-                          capacity_buckets=buckets)
+                          capacity_buckets=buckets, level_counts=n_levels)
     # NUM_WORKERS > 0 forks a worker pool (torch-DataLoader equivalent:
     # decode/augment/quantize/collate in parallel); 0 keeps a single
     # prefetch thread so the host still overlaps the device step.

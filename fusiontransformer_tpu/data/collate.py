@@ -19,10 +19,29 @@ from typing import Dict, List
 import numpy as np
 
 
+def _level_voxel_counts(coords: np.ndarray, num_levels: int) -> np.ndarray:
+    """Exact unique-voxel count of one scan at each hierarchy level.
+
+    Level l voxels are ``unique(coords >> l)`` (the 2x-downsample chain the
+    SPVCNN stages walk); coords are the dataloader's already-deduped voxel
+    coords in [0, 4096)^3, so level 0 is just ``len(coords)``.  Feeds
+    TPU.ADAPTIVE_LEVEL_CAPS (steps.adaptive_level_caps)."""
+    counts = np.empty(num_levels, np.int64)
+    counts[0] = len(coords)
+    c = coords.astype(np.int64)
+    key = (c[:, 0] << 24) | (c[:, 1] << 12) | c[:, 2]
+    for l in range(1, num_levels):
+        # >> on the packed key drops low bits of z only; rebuild per level.
+        cl = c >> l
+        counts[l] = len(np.unique((cl[:, 0] << 24) | (cl[:, 1] << 12)
+                                  | cl[:, 2]))
+    return counts
+
+
 def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
                    image_height: int, image_width: int,
                    output_orig: bool = False, output_image: bool = True,
-                   capacity_buckets: tuple = ()):
+                   capacity_buckets: tuple = (), level_counts: int = 0):
     b = batch_size
     cap = point_capacity
     if capacity_buckets:
@@ -84,15 +103,23 @@ def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
             out["inverse_map"].append(s["inverse_map"])
         out["seq"].append(s.get("seq", ""))
         out["filename"].append(s.get("filename", ""))
+        if level_counts:
+            # Batch totals: the hierarchy keys include the batch index, so
+            # per-scan unique counts sum exactly (post-truncation slice).
+            out.setdefault("level_counts",
+                           np.zeros(level_counts, np.int64))
+            out["level_counts"] += _level_voxel_counts(
+                np.asarray(s["coords"][:k]), level_counts)
     return out
 
 
 def get_collate(is_train: bool, batch_size: int, point_capacity: int,
                 image_height: int, image_width: int, output_image: bool = True,
-                capacity_buckets: tuple = ()):
+                capacity_buckets: tuple = (), level_counts: int = 0):
     """Reference ``get_collate_scn`` analog: eval batches carry orig fields."""
     return partial(collate_padded, batch_size=batch_size,
                    point_capacity=point_capacity, image_height=image_height,
                    image_width=image_width, output_orig=not is_train,
                    output_image=output_image,
-                   capacity_buckets=tuple(capacity_buckets))
+                   capacity_buckets=tuple(capacity_buckets),
+                   level_counts=level_counts)

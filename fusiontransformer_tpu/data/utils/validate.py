@@ -130,7 +130,13 @@ def validate(cfg, eval_step, state, dataloader, val_metric_logger,
         # eval step — jit places it per its in_shardings; an unconditional
         # device_put here would commit to device 0 and fight multi-device
         # eval (parallel/data_parallel.py::shard_eval_step).
-        res = eval_step(state, _device_batch(batch))
+        # ``wants_host_batch`` callables (the trainer's adaptive-capacity
+        # wrapper) additionally get the full host batch to pick the jitted
+        # step for this batch's voxel counts.
+        if getattr(eval_step, "wants_host_batch", False):
+            res = eval_step(state, _device_batch(batch), batch)
+        else:
+            res = eval_step(state, _device_batch(batch))
         dispatched = time.time()
         if pending is not None:
             consume(*pending)

@@ -48,6 +48,16 @@ class DistributedTrainer(SemanticTrainer):
         n_dev = cfg.TPU.NUM_DEVICES or jax.device_count()
         self.nproc = jax.process_count()
         self.rank = jax.process_index()
+        if self._adaptive_caps and (n_dev > 1 or self.nproc > 1):
+            # Per-batch capacity tuples would diverge across ranks (each
+            # host sees different scans), compiling different programs on
+            # the same collective step.  Shape-derived caps stay; a global
+            # max per level via the bucket-sync allgather is the extension
+            # point if this ever matters multi-host.
+            self.logger.warning(
+                "TPU.ADAPTIVE_LEVEL_CAPS is single-process only; disabled "
+                "for this %d-device/%d-process run", n_dev, self.nproc)
+            self._adaptive_caps = False
         self.model_parallel = int(cfg.TPU.MODEL_PARALLEL) \
             if "MODEL_PARALLEL" in cfg.TPU else 1
         if self.model_parallel > 1:

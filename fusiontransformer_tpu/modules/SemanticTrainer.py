@@ -131,6 +131,14 @@ class SemanticTrainer:
         self.train_step_fn = jax.jit(step_fn, donate_argnums=(0,))
         eval_fn, _ = make_eval_step(cfg, self.model, cfg.VAL.BATCH_SIZE)
         self.eval_step_fn = jax.jit(eval_fn)
+        # TPU.ADAPTIVE_LEVEL_CAPS: per-batch occupancy-compacted capacities;
+        # one jitted step per distinct (ladder-quantized) capacity tuple.
+        self._adaptive_caps = bool(
+            cfg.TPU.ADAPTIVE_LEVEL_CAPS) if "ADAPTIVE_LEVEL_CAPS" in cfg.TPU \
+            else False
+        self._adaptive_caps = self._adaptive_caps and cfg.MODEL.USE_LIDAR
+        self._adaptive_train_steps = {}
+        self._adaptive_eval_steps = {}
 
         self.checkpointer = CheckpointerV2(
             save_dir=output_dir, logger=self.logger,
@@ -214,6 +222,46 @@ class SemanticTrainer:
         round trip per step on tunneled hosts)."""
         return jax.device_put(_device_batch(batch))
 
+    # ------------------------------------------------------------------ #
+    def _train_step_for(self, host_batch):
+        """The jitted train step for this batch's capacities.
+
+        TPU.ADAPTIVE_LEVEL_CAPS: voxel capacities follow the batch's exact
+        per-level unique-voxel counts (collate's ``level_counts``), ladder-
+        quantized — one trace per distinct capacity tuple, logged."""
+        if not self._adaptive_caps or "level_counts" not in host_batch:
+            return self.train_step_fn
+        from fusiontransformer_tpu.modules.steps import adaptive_level_caps
+        caps = adaptive_level_caps(self.cfg, len(host_batch["pt_valid"]),
+                                   host_batch["level_counts"])
+        fn = self._adaptive_train_steps.get(caps)
+        if fn is None:
+            self.logger.info("ADAPTIVE_LEVEL_CAPS: tracing train step for "
+                             "capacities %s", caps)
+            step_fn, _ = make_train_step(self.cfg, self.model, self.tx,
+                                         self.cfg.TRAIN.BATCH_SIZE,
+                                         level_caps=caps)
+            fn = jax.jit(step_fn, donate_argnums=(0,))
+            self._adaptive_train_steps[caps] = fn
+        return fn
+
+    def _eval_step_for(self, host_batch):
+        if not self._adaptive_caps or "level_counts" not in host_batch:
+            return self.eval_step_fn
+        from fusiontransformer_tpu.modules.steps import adaptive_level_caps
+        caps = adaptive_level_caps(self.cfg, len(host_batch["pt_valid"]),
+                                   host_batch["level_counts"])
+        fn = self._adaptive_eval_steps.get(caps)
+        if fn is None:
+            self.logger.info("ADAPTIVE_LEVEL_CAPS: tracing eval step for "
+                             "capacities %s", caps)
+            eval_fn, _ = make_eval_step(self.cfg, self.model,
+                                        self.cfg.VAL.BATCH_SIZE,
+                                        level_caps=caps)
+            fn = jax.jit(eval_fn)
+            self._adaptive_eval_steps[caps] = fn
+        return fn
+
     def train_for_one_epoch(self, epoch):
         from tqdm import tqdm
 
@@ -233,10 +281,10 @@ class SemanticTrainer:
                           desc=f"training for epoch {epoch}",
                           total=len(self.train_dataloader), leave=False):
             self._rng, step_rng = jax.random.split(self._rng)
+            step_fn = self._train_step_for(batch)
             dev_batch = self._to_device(batch)
             self._last_batch, self._last_rng = dev_batch, step_rng
-            self.state, metrics = self.train_step_fn(
-                self.state, dev_batch, step_rng)
+            self.state, metrics = step_fn(self.state, dev_batch, step_rng)
             if pending is not None:
                 self._consume_step_metrics(pending)
             pending = metrics
@@ -358,7 +406,12 @@ class SemanticTrainer:
                 epoch % self.cfg.VAL.PERIOD == 0
                 or epoch == self.cfg.SCHEDULER.MAX_EPOCH - 1):
             self.val_metric_logger.reset()
-            validate(self.cfg, self.eval_step_fn, self.state,
+            eval_step = self.eval_step_fn
+            if self._adaptive_caps:
+                def eval_step(state, dev_batch, host_batch):  # noqa: F811
+                    return self._eval_step_for(host_batch)(state, dev_batch)
+                eval_step.wants_host_batch = True
+            validate(self.cfg, eval_step, self.state,
                      self.val_dataloader, self.val_metric_logger,
                      cm_allreduce=self._val_cm_allreduce(),
                      log_tables=self._is_master)

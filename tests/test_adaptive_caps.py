@@ -1,0 +1,114 @@
+"""TPU.ADAPTIVE_LEVEL_CAPS: occupancy-compacted per-level voxel capacities.
+
+The collate counts each batch's exact per-level unique-voxel totals; the
+trainer sizes every hierarchy level to the smallest ladder capacity that
+fits (fractions become a ceiling).  These tests pin (a) count exactness
+against the hierarchy's own nvalid, (b) the ladder quantizer, and (c) the
+end-to-end trainer path (distinct capacity tuples per batch, zero overflow,
+same learning signal as static caps).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusiontransformer_tpu.config.defaults import get_default_cfg
+from fusiontransformer_tpu.data.collate import (_level_voxel_counts,
+                                                collate_padded)
+from fusiontransformer_tpu.data.synthetic import SyntheticSCN
+from fusiontransformer_tpu.modules.steps import (_ladder_cap,
+                                                 adaptive_level_caps)
+from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+import pytest
+
+
+def test_level_counts_match_hierarchy_exactly():
+    """collate's host-side counts == build_hierarchy's nvalid_raw, level by
+    level — the invariant that makes count-sized capacities lossless."""
+    ds = SyntheticSCN(split=("train",), num_scans=3, num_points=2500)
+    samples = [ds[i] for i in range(3)]
+    batch = collate_padded(samples, 3, 2560, 370, 1226, level_counts=5,
+                           output_image=False)
+    counts = batch["level_counts"]
+
+    n = len(batch["pt_valid"])
+    caps = tuple(min(n, int(c) + 256) for c in counts)  # roomy, <= buffer
+    hier = jax.jit(lambda c, b, v: build_hierarchy(c, b, v, caps))(
+        jnp.asarray(batch["coords"]), jnp.asarray(batch["pt_batch"]),
+        jnp.asarray(batch["pt_valid"]))
+    for l, lvl in enumerate(hier.levels):
+        assert int(np.asarray(lvl.nvalid_raw)) == int(counts[l]), (
+            l, int(np.asarray(lvl.nvalid_raw)), counts)
+
+
+def test_ladder_cap_properties():
+    prev = 0
+    for c in [1, 100, 128, 129, 1000, 5000, 12345, 200000]:
+        cap = _ladder_cap(c)
+        assert cap >= c and cap % 128 == 0
+        assert cap <= max(256, int(c * 1.3) + 256), (c, cap)  # tight-ish
+        assert cap >= prev  # monotone in count
+        prev = cap
+    # The ladder is coarse: nearby counts share a rung (bounded retraces).
+    assert _ladder_cap(11900) == _ladder_cap(12100)
+
+
+def test_adaptive_caps_ceiling_and_floor():
+    cfg = get_default_cfg()
+    cfg.TPU.L0_CAPACITY_FRACTION = 1.0
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (1.0, 0.9, 0.8, 0.7)
+    n_total = 4096
+    static_like = adaptive_level_caps(cfg, n_total, [10**9] * 5)
+    from fusiontransformer_tpu.modules.steps import level_caps_for_n
+    assert static_like == level_caps_for_n(cfg, n_total)  # ceiling holds
+    tiny = adaptive_level_caps(cfg, n_total, [100, 80, 60, 40, 20])
+    assert all(c == 128 for c in tiny)
+
+
+@pytest.mark.slow
+def test_trainer_adaptive_end_to_end(tmp_path):
+    """Trainer + validate with ADAPTIVE_LEVEL_CAPS on (tiny, CPU): training
+    works, validation scores, voxel overflow stays 0, and the per-caps step
+    cache actually engaged."""
+    from fusiontransformer_tpu.modules.SemanticTrainer import SemanticTrainer
+
+    cfg = get_default_cfg()
+    cfg.MODEL.TYPE = "LidarSeg"
+    cfg.MODEL.NUM_CLASSES = 20
+    cfg.MODEL.USE_LIDAR = True
+    cfg.DATASET.TYPE = "SyntheticSCN"
+    cfg.DATASET.TRAIN = ("train",)
+    cfg.DATASET.VAL = ("val",)
+    cfg.DATASET.SyntheticSCN.num_scans = 4
+    # Scans fill only ~half the point buffer: the compacted capacities must
+    # come out strictly below the static (fraction-derived) ceiling.
+    cfg.DATASET.SyntheticSCN.num_points = 150
+    cfg.DATASET.SyntheticSCN.image_width = 122
+    cfg.DATASET.SyntheticSCN.image_height = 37
+    cfg.OPTIMIZER.TYPE = "Adam"
+    cfg.OPTIMIZER.BASE_LR = 1e-3
+    cfg.SCHEDULER.MAX_EPOCH = 1
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.VAL.BATCH_SIZE = 2
+    cfg.VAL.PERIOD = 1
+    cfg.TPU.POINT_CAPACITY = 320
+    cfg.TPU.ADAPTIVE_LEVEL_CAPS = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.freeze()
+
+    trainer = SemanticTrainer(cfg, str(tmp_path), "adaptrun")
+    trainer.train()
+
+    assert trainer._adaptive_train_steps, "adaptive step cache never used"
+    assert trainer._adaptive_eval_steps, "adaptive eval cache never used"
+    # Compacted capacities are strictly below the static ceiling somewhere.
+    caps = next(iter(trainer._adaptive_train_steps))
+    from fusiontransformer_tpu.modules.steps import level_caps_for_n
+    static = level_caps_for_n(cfg, 2 * 320)
+    assert caps != static and all(a <= s for a, s in zip(caps, static))
+    # Lossless: the overflow meter stayed at zero.
+    assert trainer.train_metric_logger.meters["voxel_overflow"].global_avg \
+        == 0.0
+    loss = trainer.train_metric_logger.meters["seg_loss_3d"].global_avg
+    assert np.isfinite(loss)
