@@ -3,6 +3,7 @@ jitted train step serves every bucket (one retrace each) with right-sized
 voxel capacities (SURVEY §7 static-shape bucketing north star)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -63,6 +64,7 @@ def test_collate_picks_smallest_bucket():
     assert big["num_dropped"] > 0
 
 
+@pytest.mark.slow
 def test_train_step_serves_multiple_buckets():
     cfg = _cfg()
     rs = np.random.RandomState(1)
@@ -89,6 +91,7 @@ def test_train_step_serves_multiple_buckets():
     assert len(losses) == 2
 
 
+@pytest.mark.slow
 def test_derived_ladder_covers_fresh_draws():
     """Bucket ladders must come from measured scan-size distributions and
     hold with zero overflow on fresh draws (VERDICT r1 #6).

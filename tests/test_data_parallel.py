@@ -15,6 +15,7 @@ from fusiontransformer_tpu.parallel.data_parallel import (make_mesh,
                                                           shard_eval_step,
                                                           shard_train_step)
 from fusiontransformer_tpu.solver.build import build_optimizer
+import pytest
 
 N_DEV = 8
 CAP = 128  # points per scan
@@ -54,6 +55,7 @@ def _batch(rng):
             "pt_batch": pt_batch, "pt_valid": valid}
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device(rng):
     cfg = _cfg()
     model = LidarSeg(num_classes=20, compute_dtype=jnp.float32)
@@ -78,6 +80,7 @@ def test_sharded_eval_matches_single_device(rng):
         np.asarray(res_shard["pred_3d"])[valid])
 
 
+@pytest.mark.slow
 def test_sharded_train_step_replicated_update(rng):
     cfg = _cfg()
     model = LidarSeg(num_classes=20, compute_dtype=jnp.float32)

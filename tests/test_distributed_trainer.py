@@ -8,6 +8,7 @@ import os.path as osp
 import numpy as np
 
 from fusiontransformer_tpu.config.defaults import get_default_cfg
+import pytest
 
 
 def _cfg(tmp_path):
@@ -41,6 +42,7 @@ def _cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_distributed_trainer_full_cycle(tmp_path):
     from fusiontransformer_tpu.modules.DistributedTrainer import (
         DistributedTrainer)

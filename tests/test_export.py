@@ -5,8 +5,10 @@ import numpy as np
 from fusiontransformer_tpu.serving import InferenceEngine
 from fusiontransformer_tpu.serving.export import export_predict
 from tests.test_serving import _params, _record, _tiny_cfg
+import pytest
 
 
+@pytest.mark.slow
 def test_exported_engine_matches_live(tmp_path):
     cfg = _tiny_cfg(buckets=(512, 1024))
     params, bs = _params(cfg, 1)

@@ -8,6 +8,7 @@ from fusiontransformer_tpu.models.fusion import FusionTransformerBase
 from fusiontransformer_tpu.models.losses import (kl_divergence,
                                                  weighted_cross_entropy)
 from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+import pytest
 
 CAPS = (128, 128, 96, 64, 48)
 H, W = 40, 60
@@ -45,6 +46,7 @@ def _model(fusion):
         vit_heads=2, compute_dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_middle_fusion_forward_and_xm_loss(rng):
     data, coords, batch, valid = _batch(rng)
     hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5))(

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from fusiontransformer_tpu.config.defaults import get_default_cfg
 from fusiontransformer_tpu.solver.build import (build_optimizer,
@@ -77,6 +78,7 @@ def test_lr_update_keeps_jit_cache_with_accumulation():
     assert step._cache_size() == n_traces, "LR update retraced the step"
 
 
+@pytest.mark.slow
 def test_trainer_step_accumulates(tmp_path):
     """Full jitted train step with accum=2: identical params after the odd
     micro-step, moved after the even one; metrics still report per-micro-

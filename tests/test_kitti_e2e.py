@@ -14,6 +14,7 @@ from fusiontransformer_tpu.config.defaults import get_default_cfg
 from fusiontransformer_tpu.data.semantic_kitti.preprocess import preprocess
 
 from tests.test_kitti_pipeline import H, W, _make_raw_kitti
+import pytest
 
 
 def _cfg(tmp_path, root, out):
@@ -45,6 +46,7 @@ def _cfg(tmp_path, root, out):
     return cfg
 
 
+@pytest.mark.slow
 def test_raw_kitti_train_validate_test(tmp_path, rng):
     root = str(tmp_path / "kitti")
     out = str(tmp_path / "preprocessed")

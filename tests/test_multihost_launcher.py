@@ -137,6 +137,7 @@ print(f"proc {pid}: loss {loss:.6f} leaf {np.round(leaf, 6).tolist()} OK",
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="local TCP rendezvous")
+@pytest.mark.slow
 def test_two_process_train_step():
     """Full DP train step across 2 real processes: per-host data shards,
     cross-process gradient pmean, replicated update (the torchpack

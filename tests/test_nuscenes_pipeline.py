@@ -16,11 +16,11 @@ from PIL import Image
 H_IMG, W_IMG = 900, 1600
 
 
-def _fake_pickle(tmp_path, rng, n_scans=3, n_pts=400):
+def _fake_pickle(tmp_path, rng, n_scans=3, n_pts=400, split="train"):
     nus_dir = tmp_path / "nuscenes"
     pre_dir = tmp_path / "preprocess"
-    pre_dir.mkdir()
-    (nus_dir / "samples").mkdir(parents=True)
+    pre_dir.mkdir(exist_ok=True)
+    (nus_dir / "samples").mkdir(parents=True, exist_ok=True)
     records = []
     for i in range(n_scans):
         pts = np.stack([
@@ -43,7 +43,7 @@ def _fake_pickle(tmp_path, rng, n_scans=3, n_pts=400):
             "sample_token": f"tok{i}",
             "scene_name": "scene-0001",
         })
-    with open(pre_dir / "train.pkl", "wb") as f:
+    with open(pre_dir / f"{split}.pkl", "wb") as f:
         pickle.dump(records, f)
     return str(pre_dir), str(nus_dir)
 
@@ -61,6 +61,40 @@ def test_nuscenes_scn_item(tmp_path, rng):
     assert item["seg_label"].max() < 5
     assert (item["img_indices"][:, 0] < 225).all()
     assert (item["img_indices"][:, 1] < 400).all()
+
+
+def test_val_subset_splits_cli_reachable(tmp_path, rng):
+    """VERDICT r2 #8: the usa/singapore/day/night val subsets (written by the
+    preprocessor as ``val_<subset>.pkl``, reference ``nuscenes/preprocess.py:
+    44-68``) are reachable through the real CLI config path:
+    ``--cfg configs/nuscenes/middlefusion.yaml DATASET.VAL ('val_night',)``."""
+    import os.path as osp
+
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.data.build import build_dataloader
+    from fusiontransformer_tpu.utils.config import purge_cfg
+
+    pre, nus = _fake_pickle(tmp_path, rng, n_scans=2, split="val_night")
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    cfg = get_default_cfg()
+    cfg.merge_from_file(osp.join(repo, "configs", "nuscenes",
+                                 "middlefusion.yaml"))
+    cfg.merge_from_list([
+        "DATASET.VAL", "('val_night',)",
+        "DATASET.NuScenesSCN.preprocess_dir", pre,
+        "DATASET.NuScenesSCN.nuscenes_dir", nus,
+        "VAL.BATCH_SIZE", "2",
+        "TPU.POINT_CAPACITY", "1024",
+        "DATALOADER.NUM_WORKERS", "0",
+    ])
+    purge_cfg(cfg)
+    cfg.freeze()
+
+    loader = build_dataloader(cfg, mode="val")
+    batch = next(iter(loader))
+    assert batch["feats"].shape[-1] == 4
+    assert batch["seg_label"].max() < cfg.MODEL.NUM_CLASSES
 
 
 def test_merge_classes_mapping():

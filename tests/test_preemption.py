@@ -57,6 +57,7 @@ print("CHILD_EXITED_CLEANLY", flush=True)
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="POSIX signals")
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     env = dict(os.environ,
                FTX_REPO=osp.dirname(osp.dirname(osp.abspath(__file__))),

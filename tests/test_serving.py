@@ -91,6 +91,7 @@ def test_predict_shapes_and_determinism(engine):
     assert stats["collate_dropped_points"] == 0
 
 
+@pytest.mark.slow
 def test_batching_does_not_change_predictions():
     cfg = _tiny_cfg()
     params, bs = _params(cfg, 2)
@@ -131,6 +132,7 @@ def test_warmup_compiles_every_bucket():
     assert st["scans"] == 0 and st["batches"] == 0
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single_device():
     """num_devices=4: whole-scan data sharding must not change predictions
     (device-local gathers, rebased scan ids) — the serving analog of the

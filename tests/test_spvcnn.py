@@ -6,6 +6,7 @@ import numpy as np
 
 from fusiontransformer_tpu.models.lidar_model import LidarSeg
 from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
+import pytest
 
 CAPS = (128, 128, 96, 64, 48)
 
@@ -90,6 +91,7 @@ def test_batch_independence(rng):
     assert np.abs(base[sel1] - pert[sel1]).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_train_step_with_tap_slots(rng):
     """Full train step with compact conv slots: finite loss, tap_overflow
     metric present and zero at covering K."""

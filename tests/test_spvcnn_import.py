@@ -125,6 +125,7 @@ def _fake_reference_sd():
         "linear.bias": np.zeros(20, np.float32)}
 
 
+@pytest.mark.slow
 def test_full_tree_merge():
     from fusiontransformer_tpu.models.lidar_model import LidarSeg
 

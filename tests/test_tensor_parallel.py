@@ -130,6 +130,7 @@ def test_split_merge_roundtrip(rng):
                                           err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_tp_trainer_full_cycle(tmp_path):
     """DistributedTrainer with TPU.MODEL_PARALLEL=2 over a (2, 2) mesh:
     train epoch, merged-eval, canonical-layout checkpoint, test()."""
@@ -199,6 +200,7 @@ def test_tp_trainer_full_cycle(tmp_path):
     assert "seg_iou_3d" in metric_logger.meters
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step(rng):
     """Full flagship train step over a (data=2, model=2) mesh: runs, loss
     finite, TP leaves stay sharded, replicated leaves stay replicated.

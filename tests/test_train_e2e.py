@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fusiontransformer_tpu.config.defaults import get_default_cfg
 
@@ -37,6 +38,7 @@ def _tiny_cfg(tmp_path, model_type="LidarSeg"):
     return cfg
 
 
+@pytest.mark.slow
 def test_lidar_train_val_checkpoint_resume(tmp_path):
     from fusiontransformer_tpu.modules.SemanticTrainer import SemanticTrainer
 
@@ -64,6 +66,7 @@ def test_lidar_train_val_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
+@pytest.mark.slow
 def test_nonfinite_loss_fails_fast(tmp_path):
     """Failure detection survives the deferred (one-step-late) metric
     readback: a poisoned-parameter run must still raise FloatingPointError
@@ -81,6 +84,7 @@ def test_nonfinite_loss_fails_fast(tmp_path):
         trainer.train_for_one_epoch(0)
 
 
+@pytest.mark.slow
 def test_training_is_bitwise_deterministic(tmp_path):
     """Same RNG_SEED => bitwise-identical params after training.  This is
     the TPU-world replacement for the reference's cudnn.deterministic

@@ -14,6 +14,7 @@ import numpy as np
 
 from fusiontransformer_tpu.config.defaults import get_default_cfg
 from fusiontransformer_tpu.parallel import zero as zero_lib
+import pytest
 
 
 def _tiny_cfg(tmp_path, n_dev=4, zero=False):
@@ -67,6 +68,7 @@ def test_split_merge_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_zero_trainer_parity_and_checkpoint(tmp_path):
     """DistributedTrainer with and without ZeRO-1 produce identical params
     after an epoch; the ZeRO run's checkpoint stores the canonical layout."""
