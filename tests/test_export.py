@@ -25,6 +25,7 @@ def test_exported_engine_matches_live(tmp_path):
     assert aot.stats()["bucket_hits"][512] == 1
 
 
+@pytest.mark.slow
 def test_exported_artifact_is_weight_agnostic(tmp_path):
     """Weights are call arguments, not baked constants: the same artifact
     must produce different predictions under different checkpoints."""

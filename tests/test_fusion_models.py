@@ -68,6 +68,7 @@ def test_middle_fusion_forward_and_xm_loss(rng):
         assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_fusion_stop_gradient(rng):
     """Lidar CE must produce zero grads on the ViT (image feats detached,
     reference middle_fusion.py:102)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fusiontransformer_tpu.models.xmuda_arch import Net2DSeg, Net3DSeg
 from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
@@ -23,6 +24,7 @@ def _scene(rng, cap=128):
     return coords, batch, valid, feats, k
 
 
+@pytest.mark.slow
 def test_net3dseg_scn_unet(rng):
     coords, batch, valid, feats, k = _scene(rng)
     hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5))(
@@ -90,17 +92,20 @@ def _one_step(cfg):
     return metrics
 
 
+@pytest.mark.slow
 def test_legacy_scn_lidar_config_trains():
     """UNetSCN reachable from the CLI (VERDICT r1 #10)."""
     m = _one_step(_legacy_cfg("legacy_scn_lidar.yaml"))
     assert "seg_loss_3d" in m
 
 
+@pytest.mark.slow
 def test_legacy_resnet_image_config_trains():
     m = _one_step(_legacy_cfg("legacy_resnet_image.yaml"))
     assert "seg_loss_2d" in m
 
 
+@pytest.mark.slow
 def test_legacy_xmuda_config_trains():
     m = _one_step(_legacy_cfg("legacy_xmuda.yaml"))
     assert "seg_loss_2d" in m and "seg_loss_3d" in m and "xm_loss_2d" in m

@@ -9,6 +9,7 @@ autodiff scatter on a real hierarchy built from random scans.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def _random_hier(seed, n_pts=1024, caps=(1024, 512, 384, 256, 128)):
     return hier
 
 
+@pytest.mark.slow
 def test_devox_vjp_matches_autodiff():
     level = 2
     hier = _random_hier(1)

@@ -59,6 +59,7 @@ def test_pp_vit_forward_parity(rng, stages, micro):
                                    rtol=2e-5, atol=2e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_pp_vit_grad_parity(rng):
     """Gradients through the pipeline match the sequential ViT: stage-local
     block grads reassemble to the full grads; embed/pos grads are replicated

@@ -72,6 +72,7 @@ def engine():
     return InferenceEngine(cfg, params=params, batch_stats=bs, batch_size=1)
 
 
+@pytest.mark.slow
 def test_predict_shapes_and_determinism(engine):
     rec = _record(0)
     out1 = engine.predict(rec)
@@ -107,6 +108,7 @@ def test_batching_does_not_change_predictions():
     np.testing.assert_array_equal(half["labels"], solo[0]["labels"])
 
 
+@pytest.mark.slow
 def test_bucket_routing_is_lossless():
     params, bs = _params(_tiny_cfg(), 1)
     fixed = InferenceEngine(_tiny_cfg(), params=params, batch_stats=bs)
@@ -122,6 +124,7 @@ def test_bucket_routing_is_lossless():
     assert bucketed.stats()["bucket_hits"][1024] == 1
 
 
+@pytest.mark.slow
 def test_warmup_compiles_every_bucket():
     cfg = _tiny_cfg(buckets=(512, 1024))
     params, bs = _params(cfg, 1)
@@ -149,6 +152,7 @@ def test_sharded_engine_matches_single_device():
     assert sharded.stats()["voxel_overflow"] == 0
 
 
+@pytest.mark.slow
 def test_server_concurrent_matches_serial():
     cfg = _tiny_cfg()
     params, bs = _params(cfg, 2)

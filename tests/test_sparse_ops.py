@@ -238,6 +238,7 @@ def test_capacity_overflow_is_reported(rng):
     assert (p == 16).any()
 
 
+@pytest.mark.slow
 def test_level0_capacity_below_point_buffer(rng):
     """cap0 < N slices the sorted level-0 arrays without changing results
     (invalid points sort to the tail)."""

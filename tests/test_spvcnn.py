@@ -29,6 +29,7 @@ def _scene(rng, n=55, cap=128, n_scans=2):
     return coords, batch, valid, feats
 
 
+@pytest.mark.slow
 def test_lidarseg_forward_and_grads(rng):
     coords, batch, valid, feats = _scene(rng)
     hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5))(
@@ -66,6 +67,7 @@ def test_lidarseg_forward_and_grads(rng):
     assert not zero_grads, f"params with zero grad: {zero_grads[:5]}"
 
 
+@pytest.mark.slow
 def test_batch_independence(rng):
     """Scan b's logits must not depend on scan (1-b)'s features.
 

@@ -178,6 +178,7 @@ def _fake_deit_sd(rs, depth=2, d=64, tokens=16):
     return sd
 
 
+@pytest.mark.slow
 def test_full_fusion_checkpoint_conversion():
     """A synthetic reference MiddleFusionTransformer state_dict converts onto
     every leaf of our FusionTransformerBase tree and the forward runs."""

@@ -69,6 +69,7 @@ def test_tp_vit_forward_parity(rng, tp):
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_vit_grad_parity(rng):
     """Replicated-param grads under TP match the full model; TP-leaf grads
     reassemble to the full grads (the f/g conjugate pair is correct)."""

@@ -155,6 +155,7 @@ def _hf_deit_to_timm_sd(hf_model):
     return {k: v.detach().numpy() for k, v in sd.items()}
 
 
+@pytest.mark.slow
 def test_convert_real_timm_layout_full_resolution():
     """Forward parity vs an INDEPENDENT torch DeiT at the real checkpoint
     layout, full DeiT-B/384 shapes, f32 (VERDICT r1 #3 acceptance)."""

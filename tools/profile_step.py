@@ -21,7 +21,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BATCH = int(os.environ.get("BENCH_BATCH", 4))
+BATCH = int(os.environ.get("BENCH_BATCH", 0))  # 0 -> per-mode default below
 POINTS = 18_000
 CAPACITY = 20_480
 NUM_CLASSES = 20
@@ -65,6 +65,17 @@ def build(mode):
     cfg.TPU.POINT_CAPACITY = CAPACITY
     cfg.TPU.L0_CAPACITY_FRACTION = 0.85
     cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
+    # Mirror bench.py / bench_train.py: fused Pallas binned conv by default,
+    # same A/B env knobs, same per-mode default batch (train b2, infer b1).
+    global BATCH
+    if BATCH == 0:
+        BATCH = 2 if mode.startswith("train") else 1
+    k_env = int(os.environ.get("FTX_BENCH_TAP_SLOTS", "16"))
+    if k_env:
+        cfg.TPU.CONV_TAP_SLOTS = (k_env, k_env, k_env, k_env, 0)
+        cfg.TPU.CONV_PALLAS = os.environ.get("FTX_BENCH_PALLAS", "1") == "1"
+    from fusiontransformer_tpu.ops import sparse_conv as sc_backend
+    sc_backend.set_slot_backend("pallas" if cfg.TPU.CONV_PALLAS else "xla")
 
     ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
     batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
@@ -93,12 +104,14 @@ def build(mode):
 
     if mode.startswith("train"):
         step, _ = make_train_step(cfg, model, tx, BATCH)
-        step = jax.jit(step)
+        # donate like bench_train.py so the traced program (and its
+        # persistent-cache entry) is identical to the benchmarked one.
+        step = jax.jit(step, donate_argnums=(0,))
         rng = jax.random.PRNGKey(1)
 
         def run():
             nonlocal state
-            st, metrics = step(state, batch, rng)
+            state, metrics = step(state, batch, rng)
             np.asarray(metrics["total_loss"])
     else:
         estep, _ = make_eval_step(cfg, model, BATCH)
@@ -126,11 +139,15 @@ def summarize(outdir, steps=3):
         trace = json.load(f)
     events = trace.get("traceEvents", [])
     pid_names = {}
+    tid_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     by_src = defaultdict(float)
     by_cat = defaultdict(float)
+    by_anon = defaultdict(float)   # op-name breakdown of source-less time
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or not e.get("args"):
@@ -138,7 +155,12 @@ def summarize(outdir, steps=3):
         pname = pid_names.get(e.get("pid"), "")
         if "TPU" not in pname and "Device" not in pname:
             continue
-        if "XLA Modules" in pname or e.get("name", "").startswith("jit_"):
+        # Only the per-op rows: "XLA Modules"/"Steps" threads repeat the
+        # same device time as whole-module / whole-step envelope events.
+        tname = tid_names.get((e.get("pid"), e.get("tid")), "")
+        if tname and "Ops" not in tname:
+            continue
+        if e.get("name", "").startswith("jit_"):
             continue
         a = e["args"]
         dur = float(a.get("device_duration_ps", e.get("dur", 0) * 1e6)) / 1e9
@@ -147,6 +169,10 @@ def summarize(outdir, steps=3):
             rel = rel.split("/fusiontransformer_tpu/")[-1]
         by_src[rel] += dur
         by_cat[a.get("hlo_category", "?")] += dur
+        if rel == "?":
+            # strip the .N uniquifier suffix so variants aggregate
+            name = e.get("name", "?").rstrip("0123456789").rstrip(".")
+            by_anon[name] += dur
         total += dur
     print(f"\ntrace: {path}")
     print(f"device op time: {total:.1f} ms / {steps} steps "
@@ -156,6 +182,9 @@ def summarize(outdir, steps=3):
         print(f"  {v/steps:8.3f}  {k}")
     print("\nby source (ms/step):")
     for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:35]:
+        print(f"  {v/steps:8.3f}  {k}")
+    print("\nsource-less ops (ms/step):")
+    for k, v in sorted(by_anon.items(), key=lambda kv: -kv[1])[:25]:
         print(f"  {v/steps:8.3f}  {k}")
 
 
