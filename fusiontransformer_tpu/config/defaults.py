@@ -258,30 +258,35 @@ _C.TPU.LEVEL_CAPACITY_FRACTIONS = (1.0, 0.9, 0.8, 0.7)
 # capacity, so conservative fractions stop costing throughput (measured
 # occupancy at the default fractions is 0.16-0.75 per level).  One retrace
 # per distinct capacity tuple (the ~1.3x ladder keeps that to a handful
-# per run; each is logged).  Single-process only — multi-host/multi-device
-# runs keep shape-derived caps (rank-divergent capacities would compile
-# different programs per rank).
-_C.TPU.ADAPTIVE_LEVEL_CAPS = False
-# Compact conv tap slots per level (K), empty (default) = dense 27-tap
-# gathers.  When set, ks=3 convs gather only the K live source rows per
-# voxel and rebin them tap-major with a one-hot MXU contraction
-# (ops/sparse_conv.py binned-slot path; identical math, 27/K fewer gather
-# rows).  Measured SLOWER than dense on v5e at flagship shapes (the
-# rebinning pass eats the row saving — see the binned-slot notes there);
-# kept as an option for hardware where gather rows dominate bandwidth.
-# Live taps beyond K are DROPPED and counted in the per-step
-# `tap_overflow` metric — size K like the capacities (measured max +
-# headroom; tools/derive_buckets.py reports tap-count percentiles).
-# 0 at a level = dense path there.
-_C.TPU.CONV_TAP_SLOTS = ()
+# per run; each is logged).  On multi-device/multi-host runs the trainer
+# syncs a global per-level max across ranks first (all ranks must compile
+# the same program); per-batch counts ride the collate's `level_counts`.
+_C.TPU.ADAPTIVE_LEVEL_CAPS = True
+# Compact conv tap slots per level (K); 0 at a level (or emptying the
+# tuple) = dense 27-tap gathers there.  ks=3 convs gather only the K live
+# source rows per voxel and rebin them tap-major (ops/sparse_conv.py
+# binned-slot path; identical math, 27/K fewer gather rows).  LiDAR
+# surfaces are thin: measured live ks3 taps per voxel top out at 9-18
+# (p99 8-12), so K=16 is lossless on KITTI-like scans — live taps beyond
+# K are DROPPED and counted in the per-step `tap_overflow` metric (the
+# trainer and the serving engine both surface it; 0 == lossless; raise K
+# if a dataset ever trips it — tools/derive_buckets.py reports tap-count
+# percentiles).  Levels past the tuple's length run dense (the tuple is
+# zero-padded to the hierarchy depth), as do wide-channel convs via the
+# backend routing below.  Default: K=16 at the first four levels — the
+# measured-fastest product configuration on v5e (+26% end to end);
+# the deepest level is all 256-channel convs, which keep the dense path.
+_C.TPU.CONV_TAP_SLOTS = (16, 16, 16, 16, 0)
 # Run the K-slot ks=3 convs through the fused Pallas binning kernel
 # (ops/pallas/binned_conv.py) instead of the XLA one-hot rebinning.  The
 # kernel keeps the tap-major tensor in VMEM (no extra HBM pass), measured
 # 1.3-2.7x per conv at <=128-channel shapes on v5e; convs with
 # max(Cin, Cout) > 128 or Cin < 16 keep the dense path (measured slower
 # there — see tools/microbench_binned_conv.py).  Requires CONV_TAP_SLOTS
-# with K a multiple of 16.
-_C.TPU.CONV_PALLAS = False
+# with K a multiple of 16.  On non-TPU backends the K-slot convs run the
+# XLA one-hot formulation instead (same math; Mosaic interpret mode is a
+# debug tool, not a product path).
+_C.TPU.CONV_PALLAS = True
 # Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.

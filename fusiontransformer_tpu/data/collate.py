@@ -106,10 +106,17 @@ def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
         if level_counts:
             # Batch totals: the hierarchy keys include the batch index, so
             # per-scan unique counts sum exactly (post-truncation slice).
+            # The per-scan matrix lets data-parallel trainers re-group the
+            # totals per device shard (hierarchies build per device, so the
+            # capacity must cover the worst shard, not the batch sum).
             out.setdefault("level_counts",
                            np.zeros(level_counts, np.int64))
-            out["level_counts"] += _level_voxel_counts(
+            out.setdefault("level_counts_per_scan",
+                           np.zeros((b, level_counts), np.int64))
+            cnt = _level_voxel_counts(
                 np.asarray(s["coords"][:k]), level_counts)
+            out["level_counts"] += cnt
+            out["level_counts_per_scan"][i] = cnt
     return out
 
 

@@ -46,20 +46,20 @@ class DistributedTrainer(SemanticTrainer):
         super().__init__(cfg, output_dir, run_name)
 
         n_dev = cfg.TPU.NUM_DEVICES or jax.device_count()
+        self.n_dev = n_dev
         self.nproc = jax.process_count()
         self.rank = jax.process_index()
-        if self._adaptive_caps and (n_dev > 1 or self.nproc > 1):
-            # Per-batch capacity tuples would diverge across ranks (each
-            # host sees different scans), compiling different programs on
-            # the same collective step.  Shape-derived caps stay; a global
-            # max per level via the bucket-sync allgather is the extension
-            # point if this ever matters multi-host.
-            self.logger.warning(
-                "TPU.ADAPTIVE_LEVEL_CAPS is single-process only; disabled "
-                "for this %d-device/%d-process run", n_dev, self.nproc)
-            self._adaptive_caps = False
         self.model_parallel = int(cfg.TPU.MODEL_PARALLEL) \
             if "MODEL_PARALLEL" in cfg.TPU else 1
+        self._eval_spd = None    # set below when eval shards over the mesh
+        if self._adaptive_caps and self.model_parallel > 1:
+            # Adaptive caps rebuild the train step per capacity tuple; the
+            # TP step builder splits params by path rules and is not cached
+            # per tuple — shape-derived caps stay under tensor parallelism.
+            self.logger.warning(
+                "TPU.ADAPTIVE_LEVEL_CAPS does not compose with "
+                "TPU.MODEL_PARALLEL > 1; using shape-derived capacities")
+            self._adaptive_caps = False
         if self.model_parallel > 1:
             self._init_tensor_parallel(cfg, n_dev)
             return
@@ -116,6 +116,7 @@ class DistributedTrainer(SemanticTrainer):
                                                jnp.asarray(x).dtype),
                 self.state.opt_state)
             canonical = self.state.opt_state
+            self._zero_canonical = canonical
             self.state = self.state._replace(
                 opt_state=zero_lib.split_opt_state(canonical, n_dev))
             tx_zero = zero_lib.zero1(self.tx, "data", n_dev)
@@ -135,11 +136,93 @@ class DistributedTrainer(SemanticTrainer):
                 and cfg.VAL.BATCH_SIZE >= n_dev):
             from fusiontransformer_tpu.parallel.data_parallel import (
                 shard_eval_step)
-            eval_fn, _ = make_eval_step(cfg, self.model,
-                                        cfg.VAL.BATCH_SIZE // n_dev)
+            self._eval_spd = cfg.VAL.BATCH_SIZE // n_dev
+            eval_fn, _ = make_eval_step(cfg, self.model, self._eval_spd)
             self.eval_step_fn = shard_eval_step(eval_fn, self.mesh,
-                                                cfg.VAL.BATCH_SIZE // n_dev)
+                                                self._eval_spd)
         self.state = replicate(self.state, self.mesh)
+
+    # ------------------------------------------------------------------ #
+    def _adaptive_caps_tuple(self, host_batch, scans_per_device, sync):
+        """Occupancy-compacted capacities for a data-parallel step.
+
+        Hierarchies build per DEVICE inside shard_map, so the capacity must
+        cover the worst per-device scan group, not the batch total: group
+        the collate's per-scan counts into contiguous ``scans_per_device``
+        runs (the data-axis layout of ``shard_batch``) and take the max.
+        Multi-host (``sync``): every rank must compile the same program for
+        the same collective step, so the group maxima (and the bucketed
+        per-scan buffer size) are allgathered and maxed — the same
+        rank-synchronization as ``_sync_bucket_capacity``, one tiny int
+        allgather per batch."""
+        if (not self._adaptive_caps
+                or "level_counts_per_scan" not in host_batch):
+            return None
+        per_scan = np.asarray(host_batch["level_counts_per_scan"])
+        b_local = per_scan.shape[0]
+        if b_local % scans_per_device != 0:
+            return None
+        groups = per_scan.reshape(-1, scans_per_device,
+                                  per_scan.shape[1]).sum(axis=1)
+        local_max = groups.max(axis=0)
+        cap = len(host_batch["pt_valid"]) // b_local
+        if sync and self.nproc > 1:
+            from jax.experimental import multihost_utils
+            row = np.concatenate([[cap], local_max]).astype(np.int64)
+            g = np.asarray(multihost_utils.process_allgather(row))
+            cap = int(g[:, 0].max())
+            local_max = g[:, 1:].max(axis=0)
+        from fusiontransformer_tpu.modules.steps import adaptive_level_caps
+        return adaptive_level_caps(self.cfg, scans_per_device * cap,
+                                   tuple(int(x) for x in local_max))
+
+    def _train_step_for(self, host_batch):
+        caps = self._adaptive_caps_tuple(host_batch, self.scans_per_device,
+                                         sync=True)
+        if caps is None:
+            return self.train_step_fn
+        fn = self._adaptive_train_steps.get(caps)
+        if fn is None:
+            self.logger.info("ADAPTIVE_LEVEL_CAPS: tracing sharded train "
+                             "step for per-device capacities %s", caps)
+            if self.zero_optimizer:
+                tx_zero = self._zero.zero1(self.tx, "data", self.n_dev)
+                step_fn, _ = make_train_step(
+                    self.cfg, self.model, tx_zero, self.scans_per_device,
+                    axis_name="data", level_caps=caps)
+                fn = self._zero.shard_train_step_zero1(
+                    step_fn, self.mesh, self.scans_per_device,
+                    self._zero_canonical)
+            else:
+                step_fn, _ = make_train_step(
+                    self.cfg, self.model, self.tx, self.scans_per_device,
+                    axis_name="data", level_caps=caps)
+                fn = shard_train_step(step_fn, self.mesh,
+                                      self.scans_per_device)
+            self._adaptive_train_steps[caps] = fn
+        return fn
+
+    def _eval_step_for(self, host_batch):
+        if self._eval_spd is None:
+            # Host-local eval step (multi-host or indivisible val batch):
+            # no cross-rank collectives inside the step, so each host may
+            # size capacities to its own shard — the base implementation.
+            return super()._eval_step_for(host_batch)
+        caps = self._adaptive_caps_tuple(host_batch, self._eval_spd,
+                                         sync=False)
+        if caps is None:
+            return self.eval_step_fn
+        fn = self._adaptive_eval_steps.get(caps)
+        if fn is None:
+            from fusiontransformer_tpu.parallel.data_parallel import (
+                shard_eval_step)
+            self.logger.info("ADAPTIVE_LEVEL_CAPS: tracing sharded eval "
+                             "step for per-device capacities %s", caps)
+            eval_fn, _ = make_eval_step(self.cfg, self.model, self._eval_spd,
+                                        level_caps=caps)
+            fn = shard_eval_step(eval_fn, self.mesh, self._eval_spd)
+            self._adaptive_eval_steps[caps] = fn
+        return fn
 
     # ------------------------------------------------------------------ #
     def _init_tensor_parallel(self, cfg, n_dev):

@@ -105,15 +105,25 @@ def adaptive_level_caps(cfg, n_total: int, level_counts):
 
 
 
+def norm_tap_slots(cfg, num_levels: int):
+    """cfg.TPU.CONV_TAP_SLOTS normalized to the hierarchy depth: levels past
+    the tuple run dense (zero-padded), extra entries are dropped (legacy
+    configs carry deeper LEVEL_CAPACITY_FRACTIONS ladders).  () when the
+    K-slot path is disabled everywhere."""
+    ts = tuple(cfg.TPU.CONV_TAP_SLOTS) if "CONV_TAP_SLOTS" in cfg.TPU else ()
+    if not ts or not any(ts):
+        return ()
+    return (ts + (0,) * num_levels)[:num_levels]
+
+
 def _hier_from_cfg(cfg, batch, level_caps=None):
     """Hierarchy sized from the batch's (static) buffer — or from explicit
     occupancy-compacted capacities — with the cfg's compact conv-tap slots
     when enabled."""
-    ts = tuple(cfg.TPU.CONV_TAP_SLOTS) if "CONV_TAP_SLOTS" in cfg.TPU else ()
     caps = level_caps or level_caps_for_n(cfg, batch["coords"].shape[0])
     return build_hierarchy(
         batch["coords"], batch["pt_batch"], batch["pt_valid"],
-        caps, tap_slots=ts)
+        caps, tap_slots=norm_tap_slots(cfg, len(caps)))
 
 
 def _set_conv_backend(cfg):
@@ -235,8 +245,7 @@ def make_train_step(cfg, model, tx, batch_size: int,
             metrics["voxel_overflow"] = sum(
                 jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
                 for l in hier.levels)
-            ts = (tuple(cfg.TPU.CONV_TAP_SLOTS)
-                  if "CONV_TAP_SLOTS" in cfg.TPU else ())
+            ts = norm_tap_slots(cfg, len(hier.levels))
             if any(ts):
                 metrics["tap_overflow"] = tap_overflow(hier, ts)
         cms = _confusions(cfg, out, batch)

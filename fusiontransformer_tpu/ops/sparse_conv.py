@@ -336,6 +336,13 @@ def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16, slot_idx=None):
     if slot_idx is not None:
         src, tap = slot_idx
         if _SLOT_BACKEND == "pallas":
+            if jax.default_backend() != "tpu":
+                # Product configs ship CONV_PALLAS=True; on CPU/GPU hosts
+                # (tests, dryruns) the K-slot convs run the XLA one-hot
+                # formulation — identical math, no Mosaic interpret mode
+                # (that is a debug tool, exercised by the kernel's own
+                # tests) — so the same config runs everywhere.
+                return _subm3s(feats, w, src, tap, compute_dtype)
             if (feats.shape[-1] >= _PALLAS_MIN_CIN
                     and max(feats.shape[-1], w.shape[-1]) <= _PALLAS_MAX_CH
                     and feats.shape[0] % 8 == 0

@@ -58,6 +58,11 @@ def make_predict_step(cfg, model):
     readback is a full round trip (~50 ms), and even on directly-attached
     hosts fewer transfers is strictly better.
     """
+    from fusiontransformer_tpu.modules.steps import (_set_conv_backend,
+                                                     norm_tap_slots,
+                                                     tap_overflow)
+    _set_conv_backend(cfg)   # K-slot convs ride the fused Pallas kernel
+
     use_lidar = cfg.MODEL.USE_LIDAR
     use_image = cfg.MODEL.USE_IMAGE
     use_fusion = cfg.MODEL.USE_FUSION
@@ -90,8 +95,13 @@ def make_predict_step(cfg, model):
         if hier is not None:
             # Lossless-capacity health metric (0 = no voxel dropped),
             # broadcast to a column so the packed result stays one array.
+            # Live ks3 taps dropped by the K-slot conv maps count too —
+            # the serving path runs the same fused fast path as training.
             overflow = sum(jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
                            for l in hier.levels)
+            ts = norm_tap_slots(cfg, len(hier.levels))
+            if any(ts):
+                overflow = overflow + tap_overflow(hier, ts)
             res["voxel_overflow"] = jnp.full(res["pred"].shape, overflow,
                                              jnp.int32)
         return jnp.stack([res[k].astype(jnp.int32) for k in keys], axis=1)

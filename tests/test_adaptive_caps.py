@@ -65,6 +65,86 @@ def test_adaptive_caps_ceiling_and_floor():
     assert all(c == 128 for c in tiny)
 
 
+def test_adaptive_caps_groups_per_device():
+    """Data-parallel capacity sizing: hierarchies build per DEVICE, so the
+    capacity must cover the worst contiguous scans-per-device group of the
+    collate's per-scan counts, not the batch total."""
+    from types import SimpleNamespace
+
+    from fusiontransformer_tpu.modules.DistributedTrainer import (
+        DistributedTrainer)
+
+    cfg = get_default_cfg()
+    fake = SimpleNamespace(_adaptive_caps=True, nproc=1, cfg=cfg)
+    per_scan = np.array([[100, 60, 40, 30, 20],
+                         [10, 8, 6, 4, 2],
+                         [50, 30, 20, 15, 10],
+                         [60, 40, 25, 18, 12]], np.int64)
+    host_batch = {"level_counts_per_scan": per_scan,
+                  "pt_valid": np.zeros(4 * 256, bool)}
+    caps = DistributedTrainer._adaptive_caps_tuple(
+        fake, host_batch, scans_per_device=2, sync=False)
+    # groups: (scan0+scan1) and (scan2+scan3); elementwise max of the sums.
+    expected = adaptive_level_caps(cfg, 2 * 256, (110, 70, 46, 34, 22))
+    assert caps == expected
+    # Batch-total sizing would be ~2x too big at L0 (220 vs 110).
+    too_big = adaptive_level_caps(cfg, 2 * 256,
+                                  tuple(per_scan.sum(axis=0)))
+    assert caps[0] <= too_big[0]
+    # Partial groups (batch not divisible) fall back to static caps.
+    assert DistributedTrainer._adaptive_caps_tuple(
+        fake, host_batch, scans_per_device=3, sync=False) is None
+
+
+@pytest.mark.slow
+def test_adaptive_caps_multi_device(tmp_path):
+    """DistributedTrainer on a 4-of-8 virtual-device CPU mesh engages the
+    occupancy-compacted capacities (r3 ask: adaptive caps were
+    single-process only): per-device-group caps, zero voxel overflow, and
+    capacities strictly below the static ceiling."""
+    from fusiontransformer_tpu.modules.DistributedTrainer import (
+        DistributedTrainer)
+    from fusiontransformer_tpu.modules.steps import level_caps_for_n
+
+    cfg = get_default_cfg()
+    cfg.MODEL.TYPE = "LidarSeg"
+    cfg.MODEL.USE_LIDAR = True
+    cfg.DATASET.TYPE = "SyntheticSCN"
+    cfg.DATASET.TRAIN = ("train",)
+    cfg.DATASET.VAL = ("val",)
+    cfg.DATASET.SyntheticSCN.num_scans = 8
+    cfg.DATASET.SyntheticSCN.num_points = 150
+    cfg.DATASET.SyntheticSCN.image_width = 64
+    cfg.DATASET.SyntheticSCN.image_height = 32
+    cfg.OPTIMIZER.TYPE = "Adam"
+    cfg.OPTIMIZER.BASE_LR = 1e-3
+    cfg.SCHEDULER.MAX_EPOCH = 1
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.VAL.BATCH_SIZE = 8
+    cfg.VAL.PERIOD = 1
+    cfg.TPU.POINT_CAPACITY = 320
+    cfg.TPU.ADAPTIVE_LEVEL_CAPS = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    # 4 of the 8 virtual devices: XLA:CPU's collective rendezvous aborts
+    # after a hard 40 s when this single-core host can't schedule all
+    # device threads (same constraint as test_distributed_trainer).
+    cfg.TPU.NUM_DEVICES = 4
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.freeze()
+
+    trainer = DistributedTrainer(cfg, str(tmp_path), "adapt_dp")
+    assert trainer._adaptive_caps, "adaptive caps must survive DP init"
+    trainer.train()
+
+    assert trainer._adaptive_train_steps, \
+        "multi-device adaptive step cache never engaged"
+    caps = next(iter(trainer._adaptive_train_steps))
+    static = level_caps_for_n(cfg, trainer.scans_per_device * 320)
+    assert caps != static and all(a <= s for a, s in zip(caps, static))
+    assert trainer.train_metric_logger.meters["voxel_overflow"].global_avg \
+        == 0.0
+
+
 @pytest.mark.slow
 def test_trainer_adaptive_end_to_end(tmp_path):
     """Trainer + validate with ADAPTIVE_LEVEL_CAPS on (tiny, CPU): training
