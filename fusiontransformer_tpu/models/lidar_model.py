@@ -14,11 +14,13 @@ class LidarSeg(nn.Module):
 
     num_classes: int
     cr: float = 1.0
+    dropout_rate: float = 0.3
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, batch, hier, train: bool = False):
-        feats = SPVCNN(cr=self.cr, compute_dtype=self.compute_dtype,
+        feats = SPVCNN(cr=self.cr, dropout_rate=self.dropout_rate,
+                       compute_dtype=self.compute_dtype,
                        name="backbone")(batch["feats"], hier, train)
         logit = TorchLinear(self.num_classes, compute_dtype=self.compute_dtype,
                             name="linear")(feats)

