@@ -29,8 +29,11 @@ def _scene(rng, n=55, cap=128, n_scans=2):
     return coords, batch, valid, feats
 
 
-@pytest.mark.slow
 def test_lidarseg_forward_and_grads(rng):
+    # Deliberately UNMARKED (quick tier): the only SPVCNN/LidarSeg model
+    # coverage in the quick gate — forward + the all-params-updated grad
+    # check.  ~80 s of CPU compile, paid so bash test.sh still catches
+    # regressions in the flagship 3D path (advisor r3).
     coords, batch, valid, feats = _scene(rng)
     hier = jax.jit(build_hierarchy, static_argnums=(3, 4, 5))(
         coords, batch, valid, CAPS)

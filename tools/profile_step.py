@@ -13,6 +13,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 from collections import defaultdict
 
@@ -157,6 +158,11 @@ def summarize(outdir, steps=3):
             continue
         # Only the per-op rows: "XLA Modules"/"Steps" threads repeat the
         # same device time as whole-module / whole-step envelope events.
+        # Traces without thread_name metadata leave tname empty for every
+        # event, so keep the process-name exclusion as a fallback — module
+        # envelopes there would otherwise double-count (advisor r3).
+        if "XLA Modules" in pname or "Steps" in pname:
+            continue
         tname = tid_names.get((e.get("pid"), e.get("tid")), "")
         if tname and "Ops" not in tname:
             continue
@@ -170,8 +176,9 @@ def summarize(outdir, steps=3):
         by_src[rel] += dur
         by_cat[a.get("hlo_category", "?")] += dur
         if rel == "?":
-            # strip the .N uniquifier suffix so variants aggregate
-            name = e.get("name", "?").rstrip("0123456789").rstrip(".")
+            # strip only a literal .N uniquifier suffix so variants
+            # aggregate without truncating ops whose names end in digits
+            name = re.sub(r"\.\d+$", "", e.get("name", "?"))
             by_anon[name] += dur
         total += dur
     print(f"\ntrace: {path}")
