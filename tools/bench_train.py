@@ -65,14 +65,25 @@ def main():
     sc_backend.set_slot_backend("pallas" if cfg.TPU.CONV_PALLAS else "xla")
 
     ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=POINTS)
+    n_levels = len(level_caps_from_cfg(cfg, BATCH))
     batch = collate_padded([ds[i] for i in range(BATCH)], BATCH, CAPACITY,
-                           370, 1226)
+                           370, 1226, level_counts=n_levels)
+    # Occupancy-compacted capacities, exactly as the product trainer sizes
+    # them (TPU.ADAPTIVE_LEVEL_CAPS, default on): gathers/GEMMs scale with
+    # capacity, so the bench should run at the caps users actually get.
+    # FTX_BENCH_ADAPTIVE=0 A/Bs the static fraction-derived caps.
+    if os.environ.get("FTX_BENCH_ADAPTIVE", "1") == "1":
+        from fusiontransformer_tpu.modules.steps import adaptive_level_caps
+        caps = adaptive_level_caps(cfg, BATCH * CAPACITY,
+                                   batch["level_counts"])
+    else:
+        caps = level_caps_from_cfg(cfg, BATCH)
+    print(f"level caps: {caps}", file=sys.stderr)
     batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
                                    "pt_valid", "img", "img_indices")}
     batch = jax.device_put(batch)
 
     model = build_model(cfg)[0]
-    caps = level_caps_from_cfg(cfg, BATCH)
     tx = optax.adam(1e-4)
 
     from fusiontransformer_tpu.ops.hierarchy import build_hierarchy
@@ -91,7 +102,7 @@ def main():
     state = TrainState(params, variables.get("batch_stats", {}),
                        tx.init(params), jnp.zeros((), jnp.int32))
 
-    step, _ = make_train_step(cfg, model, tx, BATCH)
+    step, _ = make_train_step(cfg, model, tx, BATCH, level_caps=caps)
     step = jax.jit(step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
