@@ -17,11 +17,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Batch sweep on v5e (after capacity tightening + Pallas adjoints removed
-# the fixed costs): train scans/s 17.96 @ b1, 19.01 @ b2, 18.05 @ b4,
-# 16.8 @ b8, 16.03 @ b16 — batch 2 optimal, mirroring inference where
-# gathers scale linearly and almost nothing amortizes.
-BATCH = int(os.environ.get("BENCH_BATCH", 2))
+# Batch sweep on v5e, r4 (Pallas fused convs + adaptive caps): train
+# scans/s 21.46 @ b1, 21.04 @ b2, 21.69 @ b3 — flat within ~3%: gathers
+# scale with capacity and only the kernel/dispatch constants amortize.
+# (r2 sweep had b2 optimal at 17.96/19.01/18.05 for b1/b2/b4.)
+BATCH = int(os.environ.get("BENCH_BATCH", 3))
 POINTS = 18_000
 CAPACITY = 20_480
 NUM_CLASSES = 20
