@@ -237,9 +237,6 @@ class DistributedTrainer(SemanticTrainer):
         from fusiontransformer_tpu.parallel import tensor_parallel as tp_lib
 
         mp = self.model_parallel
-        assert self.nproc == 1, (
-            "TPU.MODEL_PARALLEL > 1 is single-host for now (model-axis "
-            "collectives must ride ICI, not DCN)")
         assert not cfg.TPU.get("ZERO_OPTIMIZER", False), (
             "TPU.ZERO_OPTIMIZER composes with data parallelism only; "
             "unset it or MODEL_PARALLEL")
@@ -261,12 +258,30 @@ class DistributedTrainer(SemanticTrainer):
         self._tp_heads = int(getattr(self.model, "vit_heads", 12))
         self.mesh = tp_lib.make_mesh_2d(data, mp)
 
+        if self.nproc > 1:
+            # Multi-host TP: make_mesh_2d pinned the model axis intra-host
+            # (psum rides ICI; only the data-axis gradient pmean crosses
+            # DCN).  Per-host input pipeline exactly like the DP path.
+            assert bs % self.nproc == 0, (bs, self.nproc)
+            self.train_dataloader = build_dataloader(
+                cfg, mode="train", use_distributed=True, rank=self.rank,
+                world_size=self.nproc, seed=self.rank,
+                batch_size=bs // self.nproc)
+            if cfg.VAL.PERIOD > 0:
+                self.val_dataloader = build_dataloader(
+                    cfg, mode="val", use_distributed=True, rank=self.rank,
+                    world_size=self.nproc)
+            self.steps_per_epoch = max(1, len(self.train_dataloader))
+
         model_tp = build_model(cfg, vit_tp=mp, vit_tp_axis="model")[0]
         self.state = self.state._replace(
             params=tp_lib.split_params_for_tp(
                 self.state.params, mp, self._tp_heads),
             opt_state=tp_lib.split_params_for_tp(
                 self.state.opt_state, mp, self._tp_heads))
+        # Explicit global placement (required by multi-controller jit; a
+        # no-op-equivalent device_put single-host).
+        self.state = tp_lib.place_state(self.state, self.mesh)
         step_fn, self.level_caps = make_train_step(
             cfg, model_tp, self.tx, self.scans_per_device, axis_name="data")
         self.train_step_fn = tp_lib.shard_train_step_2d(
@@ -285,17 +300,32 @@ class DistributedTrainer(SemanticTrainer):
 
         self.eval_step_fn = eval_merged
 
+    def _canonical_tree(self, tree):
+        """TP tree -> canonical tp=1 layout.  Multi-host uses the host-side
+        assembly (no collectives — safe under the rank-0 guards of the
+        checkpoint savers, where a collective merge would deadlock)."""
+        if self.nproc > 1:
+            return self._tp.host_canonical(tree, self._tp_heads)
+        return self._merge_jit(tree)
+
     def _merged_state(self, state):
         if self._merged_cache[0] is not state.params:
             self._merged_cache = (state.params,
-                                  self._merge_jit(state.params))
+                                  self._canonical_tree(state.params))
         return state._replace(params=self._merged_cache[1])
 
     # ------------------------------------------------------------------ #
     def _to_device(self, batch):
         if self.model_parallel > 1:
-            # jit + shard_map's in_specs place the host batch over the data
-            # axis; TP params already carry their stacked rank axis.
+            if self.nproc > 1:
+                # Multi-host TP: global batch arrays over the data axis of
+                # the 2-D mesh (model axis replicated), same bucket
+                # rank-sync as the DP path.
+                if tuple(self.cfg.TPU.CAPACITY_BUCKETS):
+                    batch = self._sync_bucket_capacity(batch)
+                return shard_batch(_device_batch(batch), self.mesh)
+            # Single-host: jit + shard_map's in_specs place the host batch
+            # over the data axis; TP params already carry their rank axis.
             return _device_batch(batch)
         if self.nproc > 1 and tuple(self.cfg.TPU.CAPACITY_BUCKETS):
             batch = self._sync_bucket_capacity(batch)
@@ -346,8 +376,8 @@ class DistributedTrainer(SemanticTrainer):
             if self.model_parallel > 1:
                 # Checkpoints stay TP-degree independent: merge the stacked
                 # shards back to the canonical tp=1 layout.
-                params = self._merge_jit(params)
-                opt_state = self._merge_jit(opt_state)
+                params = self._canonical_tree(params)
+                opt_state = self._canonical_tree(opt_state)
             elif self.zero_optimizer:
                 # Same for ZeRO: canonical optimizer layout on disk.
                 opt_state = self._zero.merge_opt_state(
@@ -370,8 +400,8 @@ class DistributedTrainer(SemanticTrainer):
             return
         if self.model_parallel > 1:
             merged = self.state._replace(
-                params=self._merge_jit(self.state.params),
-                opt_state=self._merge_jit(self.state.opt_state))
+                params=self._canonical_tree(self.state.params),
+                opt_state=self._canonical_tree(self.state.opt_state))
         elif self.zero_optimizer:
             merged = self.state._replace(
                 opt_state=self._zero.merge_opt_state(

@@ -257,10 +257,76 @@ def restack_local(tree):
 # --------------------------------------------------------------------------- #
 
 def make_mesh_2d(data: int, model: int) -> Mesh:
+    """(data, model) mesh; on multi-host runs the model axis is pinned
+    INTRA-host so its psum collectives ride ICI while only the data axis
+    (gradient pmean) crosses DCN — the Megatron placement rule."""
     devices = jax.devices()
     n = data * model
     assert n <= len(devices), (n, len(devices))
+    if jax.process_count() > 1:
+        n_local = len(jax.local_devices())
+        assert model <= n_local and n_local % model == 0, (
+            f"TPU.MODEL_PARALLEL={model} must divide the {n_local} local "
+            "devices: the model axis must stay intra-host (ICI)")
+        # Process-major order -> consecutive same-host devices fill each
+        # model row of the reshape.
+        devices = sorted(devices,
+                         key=lambda d: (d.process_index, getattr(d, "id", 0)))
     return Mesh(np.array(devices[:n]).reshape(data, model), ("data", "model"))
+
+
+def place_state(tree, mesh: Mesh):
+    """Explicitly place a TrainState pytree on the 2-D mesh: stacked TP
+    leaves sharded over ``model`` (leading rank axis), everything else
+    replicated.
+
+    Single-host this is an ordinary device_put; multi-host every process
+    holds the same canonical host values (same init / same checkpoint), so
+    each builds its local shards via ``make_array_from_callback`` — the
+    collective-free way to form the global arrays that multi-controller
+    jit requires."""
+    specs = specs_for_tp(tree)
+    spans = jax.process_count() > 1 and len(mesh.devices.ravel()) > len(
+        jax.local_devices())
+
+    def f(x, spec):
+        sharding = jax.sharding.NamedSharding(mesh, spec)
+        if not spans:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(f, tree, specs)
+
+
+def host_canonical(tree, num_heads: int):
+    """TP-sharded (possibly multi-host global) tree -> canonical tp=1
+    layout as HOST arrays, with no collectives.
+
+    Works because the data axis replicates parameters across hosts: every
+    host's local devices hold all ``model`` shards, so each leaf is fully
+    addressable locally and can be assembled from ``addressable_shards``.
+    Safe to call on any subset of ranks (checkpoint saving is rank-0-only;
+    a collective merge there would deadlock)."""
+    def leaf_to_host(x):
+        if not isinstance(x, jax.Array):
+            return np.asarray(x)
+        if x.is_fully_replicated:
+            return np.asarray(x)
+        out = np.empty(x.shape, x.dtype)
+        covered = 0
+        for sh in x.addressable_shards:
+            out[sh.index] = np.asarray(sh.data)
+            covered += np.asarray(sh.data).size
+        assert covered >= out.size, (
+            "leaf not fully addressable on this host — model axis must be "
+            "intra-host (make_mesh_2d)")
+        return out
+
+    host = jax.tree_util.tree_map(leaf_to_host, tree)
+    return jax.tree_util.tree_map(
+        np.asarray, merge_params_from_tp(host, num_heads))
 
 
 def shard_train_step_2d(step_fn, mesh: Mesh, scans_per_device: int):

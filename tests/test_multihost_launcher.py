@@ -136,6 +136,103 @@ print(f"proc {pid}: loss {loss:.6f} leaf {np.round(leaf, 6).tolist()} OK",
 """
 
 
+_CHILD_TP = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+sys.path.insert(0, os.environ["FTX_REPO"])
+
+import numpy as np
+from fusiontransformer_tpu.parallel.data_parallel import (
+    initialize_distributed, shard_batch)
+from fusiontransformer_tpu.parallel import tensor_parallel as tp_lib
+
+initialize_distributed()
+pid = jax.process_index()
+assert jax.device_count() == 4
+
+from __graft_entry__ import _make_batch, _tiny_cfg, _tiny_model
+from fusiontransformer_tpu.modules.SemanticTrainer import init_train_state
+from fusiontransformer_tpu.modules.steps import make_train_step
+from fusiontransformer_tpu.solver.build import build_optimizer
+
+# data=2 spans the two hosts; model=2 stays intra-host (make_mesh_2d
+# pins it — assert the Megatron placement below).
+data, mp, heads = 2, 2, 4
+mesh = tp_lib.make_mesh_2d(data, mp)
+for row in mesh.devices:
+    assert len({d.process_index for d in row}) == 1, mesh.devices
+
+cfg = _tiny_cfg(batch_size=data, point_capacity=256, img_h=37, img_w=61)
+model = _tiny_model(cfg, vit_depth=2)
+model_tp = _tiny_model(cfg, vit_depth=2, tp=mp, tp_axis="model")
+tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+state = init_train_state(cfg, model, tx, 1, rng_seed=0)
+state = state._replace(
+    params=tp_lib.split_params_for_tp(state.params, mp, heads),
+    opt_state=tp_lib.split_params_for_tp(state.opt_state, mp, heads))
+state = tp_lib.place_state(state, mesh)
+
+step_fn, _ = make_train_step(cfg, model_tp, tx, 1, axis_name="data")
+train_step = tp_lib.shard_train_step_2d(step_fn, mesh, scans_per_device=1)
+
+# Each host loads ITS scan of the global batch (per-host input pipeline).
+local_cfg = cfg.clone(); local_cfg.defrost()
+local_cfg.DATASET.SyntheticSCN.seed = 100 * pid
+local_cfg.TRAIN.BATCH_SIZE = 1
+local_cfg.freeze()
+local = _make_batch(local_cfg, 1)
+gbatch = shard_batch(local, mesh)
+
+new_state, metrics = train_step(state, gbatch, jax.random.PRNGKey(0))
+loss = float(np.asarray(jax.device_get(metrics["total_loss"])))
+assert np.isfinite(loss), loss
+
+# Canonical merge is host-side and collective-free: every host must
+# assemble identical canonical params from its addressable shards.
+merged = tp_lib.host_canonical(new_state.params, heads)
+digest = float(sum(np.abs(l).sum() for l in jax.tree_util.tree_leaves(merged)))
+print(f"proc {pid}: loss {loss:.6f} digest {digest:.6f} OK", flush=True)
+"""
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="local TCP rendezvous")
+@pytest.mark.slow
+def test_two_process_tensor_parallel_step():
+    """Multi-host TP: 2 hosts x 2 local devices as a (data=2, model=2)
+    mesh — model-axis psum intra-host, gradient pmean across hosts, and
+    the collective-free host-side canonical merge (what the rank-0
+    checkpoint saver uses)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "FTX_REPO": repo,
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _CHILD_TP], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: loss" in out, out
+    # Same pmean'd loss and same canonical merged params on both hosts.
+    l0 = outs[0].split("loss ")[1].split(" ")[0]
+    l1 = outs[1].split("loss ")[1].split(" ")[0]
+    assert l0 == l1, (l0, l1)
+    d0 = outs[0].split("digest ")[1].split(" OK")[0]
+    d1 = outs[1].split("digest ")[1].split(" OK")[0]
+    assert d0 == d1, (d0, d1)
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="local TCP rendezvous")
 @pytest.mark.slow
 def test_two_process_train_step():

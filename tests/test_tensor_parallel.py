@@ -243,3 +243,33 @@ def test_dp_tp_train_step(rng):
     qkv = [v for p, v in flat
            if tp_lib.tp_rule_for_path(p) == "qkv_kernel"]
     assert qkv and all(v.shape[0] == model_ranks for v in qkv)
+
+
+def test_place_state_and_host_canonical_roundtrip(rng):
+    """place_state puts stacked TP leaves on the model axis; host_canonical
+    reassembles the canonical tp=1 layout from addressable shards without
+    collectives (the multi-host rank-0 checkpoint-saver path, exercised
+    single-process here and across 2 real processes in
+    test_multihost_launcher.py)."""
+    full, _ = _full_and_tp_models(tp=2)
+    imgs = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    params = full.init(jax.random.PRNGKey(0), imgs)["params"]
+
+    split = tp_lib.split_params_for_tp(params, 2, 4)
+    mesh = tp_lib.make_mesh_2d(2, 2)
+    placed = tp_lib.place_state(split, mesh)
+
+    # TP leaves are sharded over 'model', replicated leaves over nothing.
+    flat = jax.tree_util.tree_flatten_with_path(placed)[0]
+    for path, leaf in flat:
+        spec = leaf.sharding.spec
+        if tp_lib.tp_rule_for_path(path) is not None:
+            assert spec[0] == "model", (path, spec)
+        else:
+            assert all(s is None for s in spec), (path, spec)
+
+    merged = tp_lib.host_canonical(placed, num_heads=4)
+    ref = jax.tree_util.tree_map(np.asarray, params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        merged, ref)
