@@ -107,7 +107,7 @@ def measure_torch_cpu_baseline():
     return result["cpu_proxy_scans_per_sec"]
 
 
-def build_flagship(batch_size):
+def build_flagship(batch_size, wd=None):
     import jax
     import jax.numpy as jnp
 
@@ -166,12 +166,33 @@ def build_flagship(batch_size):
     caps = level_caps_from_cfg(cfg, batch_size)
     tap_slots = tuple(cfg.TPU.CONV_TAP_SLOTS)
 
+    # FTX_BENCH_SLOT_POOL=1: host-built group-pooled slot maps
+    # (ops/host_slots.py, r5) instead of the per-voxel K-slot device maps.
+    gslot = {}
+    if os.environ.get("FTX_BENCH_SLOT_POOL", "0") == "1":
+        from fusiontransformer_tpu.ops.host_slots import build_batch_slot_maps
+        coords_list = [np.asarray(ds[i]["coords"])[:CAPACITY]
+                       for i in range(batch_size)]
+        t0 = time.time()
+        maps, overflow = build_batch_slot_maps(coords_list, caps,
+                                               slot_levels=[0, 1, 2, 3])
+        assert overflow == 0, overflow
+        log(f"host slot maps: {(time.time()-t0)*1e3:.1f} ms/batch, pool "
+            f"sizes { {l: maps[l][0].shape[1] for l in maps} }")
+        for l, (src, binp) in maps.items():
+            gslot[f"gslot_src_{l}"] = src
+            gslot[f"gslot_bin_{l}"] = binp
+        tap_slots = ()
+        batch = dict(batch, **jax.device_put(gslot))
+
     @jax.jit
     def _init(batch):
         hier = build_hierarchy(batch["coords"], batch["pt_batch"],
                                batch["pt_valid"], caps, tap_slots=tap_slots)
         return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
 
+    if wd:
+        wd.phase("init compile+run", budget_s=900)
     t0 = time.time()
     variables = _init(batch)
     jax.block_until_ready(variables)
@@ -181,6 +202,10 @@ def build_flagship(batch_size):
     def forward(variables, batch):
         hier = build_hierarchy(batch["coords"], batch["pt_batch"],
                                batch["pt_valid"], caps, tap_slots=tap_slots)
+        if gslot:
+            from fusiontransformer_tpu.ops.hierarchy import (
+                attach_grouped_slots)
+            hier = attach_grouped_slots(hier, batch)
         out = model.apply(variables, batch, hier, train=False)
         probs = (jax.nn.softmax(out["img_seg_logit"], -1)
                  + jax.nn.softmax(out["lidar_seg_logit"], -1))
@@ -199,6 +224,8 @@ def build_flagship(batch_size):
             log(f"cost_analysis unavailable: {e}")
         return None
 
+    if wd:
+        wd.phase("forward cost-analysis compile", budget_s=900)
     flops_per_batch = _xla_flops(forward, variables, batch)
 
     # Dense-equivalent FLOPs: the K-slot path executes fewer counted FLOPs
@@ -207,7 +234,7 @@ def build_flagship(batch_size):
     # only, never run; persistent-cache hit after the first bench) so both
     # accountings are always reported and rounds stay comparable.
     flops_dense_per_batch = None
-    if tap_slots and any(tap_slots):
+    if (tap_slots and any(tap_slots)) or gslot:
         dense_caps = caps
 
         @jax.jit
@@ -219,7 +246,12 @@ def build_flagship(batch_size):
                      + jax.nn.softmax(out["lidar_seg_logit"], -1))
             return jnp.argmax(probs, -1)
 
+        if wd:
+            wd.phase("dense-equiv cost-analysis compile", budget_s=900)
         flops_dense_per_batch = _xla_flops(forward_dense, variables, batch)
+
+    if wd:
+        wd.phase("overflow check", budget_s=600)
 
     @jax.jit
     def overflow(batch):
@@ -239,7 +271,8 @@ def build_flagship(batch_size):
     return forward, variables, batch, flops_per_batch, flops_dense_per_batch
 
 
-def bench(forward, variables, batch, batch_size, iters=20, windows=5):
+def bench(forward, variables, batch, batch_size, iters=20, windows=5,
+          wd=None):
     """Noise-robust measurement (r3 VERDICT #2: the driver's single-window
     sample under-reported a cold-cache run by 10%).  One warmup burst lets
     the axon tunnel and dispatch path settle after compile, then the
@@ -247,6 +280,8 @@ def bench(forward, variables, batch, batch_size, iters=20, windows=5):
     the window spread is logged so a noisy host is visible in the record."""
     import jax
 
+    if wd:
+        wd.phase("measured compile+first run", budget_s=900)
     t0 = time.time()
     out = forward(variables, batch)
     _ = np.asarray(out[:1])
@@ -257,6 +292,8 @@ def bench(forward, variables, batch, batch_size, iters=20, windows=5):
 
     # Warmup burst: post-compile dispatch is slower for the first few calls
     # (tunnel buffers, donation bookkeeping); never measure them.
+    if wd:
+        wd.phase("warmup", budget_s=120)
     for _ in range(5):
         out = forward(variables, batch)
     _ = np.asarray(out[:1])
@@ -265,7 +302,9 @@ def bench(forward, variables, batch, batch_size, iters=20, windows=5):
     # iteration syncs via a 1-element readback; a pipelined pass (single sync
     # at the end) gives the dispatch-overlapped throughput.
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        if wd:
+            wd.phase(f"sync-latency iter {i + 1}/{iters}", budget_s=120)
         t0 = time.perf_counter()
         out = forward(variables, batch)
         _ = np.asarray(out[:1])
@@ -273,7 +312,9 @@ def bench(forward, variables, batch, batch_size, iters=20, windows=5):
     p50 = float(np.percentile(np.array(times), 50))
 
     per_window = []
-    for _ in range(windows):
+    for w in range(windows):
+        if wd:
+            wd.phase(f"pipelined window {w + 1}/{windows}", budget_s=120)
         t0 = time.perf_counter()
         outs = [forward(variables, batch) for _ in range(iters)]
         _ = np.asarray(outs[-1][:1])
@@ -294,17 +335,24 @@ def bench(forward, variables, batch, batch_size, iters=20, windows=5):
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))
+    # Stall watchdog (VERDICT r4 weak #6): heartbeat every 30 s; a wedged
+    # tunnel self-reports and exits 3 instead of hanging silently.
+    from fusiontransformer_tpu.utils.watchdog import Watchdog
+    wd = Watchdog()
+    wd.phase("backend init", budget_s=300)
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
+    wd.phase("torch-cpu baseline", budget_s=600)
     baseline = measure_torch_cpu_baseline()
 
     (forward, variables, batch, flops_per_batch,
-     flops_dense_per_batch) = build_flagship(BATCH)
-    scans_per_sec, p50_batch = bench(forward, variables, batch, BATCH)
+     flops_dense_per_batch) = build_flagship(BATCH, wd=wd)
+    scans_per_sec, p50_batch = bench(forward, variables, batch, BATCH, wd=wd)
+    wd.stop()
     log(f"batch={BATCH}: {scans_per_sec:.2f} scans/s "
         f"(p50 batch latency {p50_batch*1000:.1f} ms)")
 

@@ -299,6 +299,26 @@ class SemanticTrainer:
         self.state = self.state._replace(
             opt_state=set_learning_rate(self.state.opt_state, new_lr))
 
+    def _log_host_memory(self, epoch):
+        """Per-epoch host-RSS line (always) + full discriminating snapshot
+        (FTX_MEMDIAG=1) + optional malloc_trim (FTX_MALLOC_TRIM=1) — the
+        ROADMAP "Known issue (r4)" leak watch; any regression shows in every
+        future converge log."""
+        import os
+        from fusiontransformer_tpu.utils import memdiag
+        if os.environ.get("FTX_MEMDIAG", "") == "1":
+            snap = memdiag.snapshot()
+            self.logger.info("memdiag[%d]: %s", epoch,
+                             memdiag.format_snapshot(snap))
+            self._last_rss_mb = snap.get("rss_mb", 0.0)
+        else:
+            self._last_rss_mb = memdiag.rss_mb()
+            self.logger.info("host RSS after epoch %d: %.0f MB", epoch,
+                             self._last_rss_mb)
+        if memdiag.maybe_trim():
+            self.logger.info("malloc_trim released pages; RSS now %.0f MB",
+                             memdiag.rss_mb())
+
     def _consume_step_metrics(self, metrics):
         """Device_get + log one step's metrics (deferred by one step)."""
         host = {k: v for k, v in metrics.items() if not k.startswith("cm_")}
@@ -348,7 +368,8 @@ class SemanticTrainer:
             return
         import json
         rec = {"epoch": epoch,
-               "lr": get_learning_rate(self.state.opt_state)}
+               "lr": get_learning_rate(self.state.opt_state),
+               "host_rss_mb": getattr(self, "_last_rss_mb", 0.0)}
         for name, meter in self.train_metric_logger.meters.items():
             try:
                 rec["train/" + name] = float(meter.global_avg)
@@ -518,6 +539,7 @@ class SemanticTrainer:
                 self._save_preemption_checkpoint(epoch)
                 break
             self.logger.info("Epoch %d took %.1fs", epoch, time.time() - t0)
+            self._log_host_memory(epoch)
             self.update_log(epoch)
             self.update_summary(epoch)
             # Only epochs that actually validated log Val meters / update
