@@ -119,8 +119,19 @@ def norm_tap_slots(cfg, num_levels: int):
 def _hier_from_cfg(cfg, batch, level_caps=None):
     """Hierarchy sized from the batch's (static) buffer — or from explicit
     occupancy-compacted capacities — with the cfg's compact conv-tap slots
-    when enabled."""
+    when enabled.
+
+    Host-built group-pooled slot maps (``ops.host_slots``, the r5 swing):
+    when the batch carries ``gslot_src_{l}``/``gslot_bin_{l}`` arrays, the
+    device-side per-voxel slot compaction is skipped entirely and the
+    loader's exactly-compacted pool maps are attached instead (the conv
+    routes on their [V/8, S] shape — see ``sparse_conv.subm_conv3``)."""
     caps = level_caps or level_caps_for_n(cfg, batch["coords"].shape[0])
+    if "gslot_src_0" in batch:
+        from fusiontransformer_tpu.ops.hierarchy import attach_grouped_slots
+        hier = build_hierarchy(batch["coords"], batch["pt_batch"],
+                               batch["pt_valid"], caps)
+        return attach_grouped_slots(hier, batch)
     return build_hierarchy(
         batch["coords"], batch["pt_batch"], batch["pt_valid"],
         caps, tap_slots=norm_tap_slots(cfg, len(caps)))
@@ -202,10 +213,14 @@ def _confusions(cfg, out, batch):
 
 
 def _device_batch(batch):
-    """Array-only view of a collated batch (host lists stripped)."""
+    """Array-only view of a collated batch (host lists stripped); host-built
+    grouped slot maps (``gslot_src_*``/``gslot_bin_*``) ride along."""
     keys = ("coords", "feats", "seg_label", "pt_batch", "pt_valid", "img",
             "img_indices")
-    return {k: batch[k] for k in keys if k in batch}
+    out = {k: batch[k] for k in keys if k in batch}
+    out.update({k: v for k, v in batch.items()
+                if k.startswith(("gslot_src_", "gslot_bin_"))})
+    return out
 
 
 def make_train_step(cfg, model, tx, batch_size: int,
@@ -246,7 +261,10 @@ def make_train_step(cfg, model, tx, batch_size: int,
                 jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
                 for l in hier.levels)
             ts = norm_tap_slots(cfg, len(hier.levels))
-            if any(ts):
+            if any(ts) and "gslot_src_0" not in batch:
+                # Host-built grouped maps are exactly compacted (the loader
+                # counts and sizes the pool; its overflow counter covers
+                # truncation) — the per-voxel K accounting doesn't apply.
                 metrics["tap_overflow"] = tap_overflow(hier, ts)
         cms = _confusions(cfg, out, batch)
 

@@ -423,3 +423,18 @@ def build_hierarchy(coords, batch_idx, valid,
         pt_corner_w=tuple(pt_corner_w),
         pt_voxel_idx=tuple(pt_voxel_idx),
     )
+
+
+def attach_grouped_slots(hier: Hierarchy, batch) -> Hierarchy:
+    """Attach host-built group-pooled slot maps (``ops.host_slots``) from a
+    batch dict (``gslot_src_{l}``/``gslot_bin_{l}`` arrays) to the levels.
+    The conv layer routes on the maps' [V/8, S] shape
+    (``sparse_conv.subm_conv3``); levels without maps keep their existing
+    ``slot_idx`` (usually None — the builder is called with
+    ``tap_slots=()`` when host maps are in play)."""
+    levels = list(hier.levels)
+    for l in range(len(levels)):
+        if f"gslot_src_{l}" in batch:
+            levels[l] = levels[l]._replace(slot_idx=(
+                batch[f"gslot_src_{l}"], batch[f"gslot_bin_{l}"]))
+    return hier._replace(levels=tuple(levels))

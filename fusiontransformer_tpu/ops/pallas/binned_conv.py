@@ -66,21 +66,31 @@ def _pick_block(c, co, v):
 
 
 def _oh216(tap, k, mxu_dtype):
-    """Block-diagonal one-hot [GB, 216, 8K]: oh[g, t*8+vo, j] = 1 iff
-    j // K == vo and tap[g, j] == t (< 27; the sentinel 27 maps nowhere).
+    """Block-diagonal one-hot [GB, 216, S]: oh[g, t*8+vo, j] = 1 iff slot j
+    feeds bin (t, vo) (sentinel slots map nowhere).
 
     Bins are TAP-MAJOR (u = t*8 + vo) so each tap's 8-voxel slice of the
     bin axis is one aligned sublane tile — sliceable without relayout.
 
-    Built as ONE compare on the big [GB, 216, 8K] shape: each slot's target
-    bin id ``tap*8 + j//K`` is computed on the small [GB, 8K] tile first
-    (sentinel tap 27 lands at >= 216, out of bin range, automatically) —
-    the 3-iota/3-compare formulation cost ~3x the VPU work and dominated
-    the kernel at narrow channels."""
-    gb, n8k = tap.shape
-    j_vo = jax.lax.broadcasted_iota(jnp.int32, (gb, n8k), 1) // k
-    u_eff = tap * 8 + j_vo                               # [GB, 8K]
-    u_ids = jax.lax.broadcasted_iota(jnp.int32, (gb, 216, n8k), 1)
+    Two slot layouts share this:
+    * per-voxel K slots (``k`` an int, S = 8K): ``tap`` holds tap ids and
+      the owning voxel is positional, ``u = tap*8 + j//K`` (sentinel tap 27
+      lands at >= 216, out of bin range, automatically);
+    * GROUP-POOLED slots (``k`` is None): ``tap`` holds the bin id
+      ``t*8 + vo`` directly — the owning voxel is data, not layout, so the
+      S slots of a group are shared by its 8 voxels (host-side exact
+      compaction, ROADMAP r5; sentinel >= 216).
+
+    Built as ONE compare on the big [GB, 216, S] shape — the 3-iota/
+    3-compare formulation cost ~3x the VPU work and dominated the kernel
+    at narrow channels."""
+    gb, s = tap.shape
+    if k is None:
+        u_eff = tap                                      # [GB, S] bin ids
+    else:
+        j_vo = jax.lax.broadcasted_iota(jnp.int32, (gb, s), 1) // k
+        u_eff = tap * 8 + j_vo                           # [GB, S]
+    u_ids = jax.lax.broadcasted_iota(jnp.int32, (gb, 216, s), 1)
     return (u_eff[:, None, :] == u_ids).astype(mxu_dtype)
 
 
@@ -88,7 +98,7 @@ def _bin216(tap_ref, g_ref, k, mxu_dtype):
     """[GB, 216, C] binned tile: B[g, t*8+vo, c] = sum over that voxel's
     slots with tap t of the gathered rows (<= 1 per bin, exact)."""
     oh = _oh216(tap_ref[:], k, mxu_dtype)
-    g = g_ref[:].astype(mxu_dtype)                       # [GB, 8K, C]
+    g = g_ref[:].astype(mxu_dtype)                       # [GB, S, C]
     return jax.lax.dot_general(
         oh, g, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -111,27 +121,29 @@ def _fwd_kernel(tap_ref, g_ref, w_ref, out_ref, *, bv, k, c, co, mxu_dtype):
 
 
 def binned_conv_fwd(g, tap_pack, w, *, block=None, interpret=None,
-                    precise=False):
+                    precise=False, grouped=False):
     """out[v] = sum_k g_rows(v, k) @ w[tap[v, k]]  (sentinel tap 27 -> skip).
 
     Args:
-      g: [V // 8, 8*K, C] gathered neighbor rows in grouped layout
-         (``pad_row(feats)[src_pack]`` with ``src_pack = pack_slots(src)``);
-         rows at sentinel src indices must already be zero (pad-row gather).
-      tap_pack: [V // 8, 8*K] int32 (``pack_slots``); 8*K must be a
-         multiple of 128.
+      g: [V // 8, S, C] gathered neighbor rows in grouped layout
+         (``pad_row(feats)[src_pack]``); S = 8*K slots (per-voxel maps) or
+         the group-pool size (``grouped=True``); rows at sentinel src
+         indices must already be zero (pad-row gather).
+      tap_pack: [V // 8, S] int32 — per-voxel tap ids (``pack_slots``,
+         8*K a multiple of 128) or, with ``grouped=True``, direct bin ids
+         ``tap*8 + voxel_in_group`` (sentinel >= 216; S any multiple of 8).
       w: [27 * Cin, Cout] flattened kernel (tap-major rows).
     Returns:
       [V, Cout] float32.
     """
     ng, n8k, c = g.shape
     v = ng * 8
-    k = n8k // 8
+    k = None if grouped else n8k // 8
     co = w.shape[1]
     if block is None:
         block = _pick_block(c, co, v)
     assert v % block == 0 and block % 8 == 0, (v, block)
-    assert n8k % 128 == 0, n8k
+    assert n8k % (8 if grouped else 128) == 0, (n8k, grouped)
     mxu_dtype = jnp.float32 if precise else jnp.bfloat16
     gb = block // 8
     return pl.pallas_call(
@@ -184,7 +196,7 @@ def _bwd_kernel(tap_ref, gd_ref, f_ref, wrev_ref, dx_ref, dw_ref, dwacc_ref,
 
 
 def binned_conv_bwd(gd, tap_pack, feats, w, *, block=None, interpret=None,
-                    precise=False):
+                    precise=False, grouped=False):
     """Backward of the fused binned conv (submanifold mirror symmetry:
     nbr(v, t) = u iff nbr(u, 26-t) = v, so dfeats is a binned conv of dout
     through the column-reversed kernel with the SAME slot maps, and the
@@ -204,7 +216,7 @@ def binned_conv_bwd(gd, tap_pack, feats, w, *, block=None, interpret=None,
     """
     ng, n8k, co = gd.shape
     v = ng * 8
-    k = n8k // 8
+    k = None if grouped else n8k // 8
     c = feats.shape[1]
     if block is None:
         block = _pick_block(c, co, v)

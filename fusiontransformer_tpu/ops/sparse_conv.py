@@ -248,6 +248,111 @@ _subm3s.defvjp(_subm3s_fwd, _subm3s_bwd)
 
 
 # --------------------------------------------------------------------------- #
+# ks=3 GROUP-POOLED slot path (host-built maps, ROADMAP r5).
+#
+# Per-voxel K slots waste rows on the per-voxel live-tap MAX (K=16 covers a
+# p99 of 8-12); pooling the slots of the kernel's 8-voxel group rides the
+# 8x tighter concentration of the group SUM (measured: max group sums
+# 70-102 of 8*27 possible vs the 8*16=128 rows the K=16 layout gathers —
+# 20-38% fewer gather rows, exactly lossless).  The owning voxel moves
+# from layout to data: slot j of group g carries (src[g, j],
+# binid[g, j] = tap*8 + voxel_in_group), built HOST-side by the loader
+# (device-side compaction across voxels needs the sort/scatter per step
+# that killed earlier variants).  Maps arrive pre-packed [V/8, S].
+#
+# Backward rides the same mirror symmetry as every other path: the binned
+# dout tile bd[u, t] = dout[nbr(u, t)] comes from one S-row gather with the
+# SAME maps, dfeats pairs it with the column-reversed kernel, dW with
+# feats^T — see _subm3s_bwd.
+# --------------------------------------------------------------------------- #
+
+def _grouped_tap_major(x, src_pack, bin_pack, cdt):
+    """[V, 27, C] tap-major neighbor tensor from group-pooled maps (XLA
+    formulation; exact vs the dense gather, <= 1 hit per bin)."""
+    ng, s = src_pack.shape
+    c = x.shape[1]
+    g = pad_row(x.astype(cdt))[src_pack]                    # [NG, S, C]
+    onehot = (bin_pack[..., None] ==
+              jnp.arange(216, dtype=bin_pack.dtype)).astype(cdt)
+    # onehot [NG, S, 216] x g [NG, S, C], contracting S -> [NG, 216, C];
+    # bins are tap-major (u = t*8 + vo), so voxel-major [V, 27, C] is one
+    # reshape+transpose.
+    b = jax.lax.dot_general(
+        onehot, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        precision=_prec(cdt), preferred_element_type=cdt)
+    return b.reshape(ng, 27, 8, c).transpose(0, 2, 1, 3).reshape(
+        ng * 8, 27, c)
+
+
+def _subm3g_impl(feats, w, src_pack, bin_pack, cdt):
+    b = _grouped_tap_major(feats, src_pack, bin_pack, cdt)
+    return jnp.einsum("vkc,kco->vo", b, w.astype(cdt),
+                      precision=_prec(cdt),
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _subm3gs(feats, w, src_pack, bin_pack, cdt):
+    # XLA formulation of the group-pooled conv (CPU/test fallback; the
+    # Pallas kernel below is the product path).  Maps must be lossless
+    # exactly like the per-voxel slot paths.
+    return _subm3g_impl(feats, w, src_pack, bin_pack, cdt)
+
+
+def _subm3gs_fwd(feats, w, src_pack, bin_pack, cdt):
+    return (_subm3g_impl(feats, w, src_pack, bin_pack, cdt),
+            (feats, w, src_pack, bin_pack))
+
+
+def _subm3gs_bwd(cdt, res, dout):
+    feats, w, src_pack, bin_pack = res
+    bd = _grouped_tap_major(dout, src_pack, bin_pack, cdt)  # [V, 27, Co]
+    dfeats = jnp.einsum("vko,kco->vc", bd, w.astype(cdt)[::-1],
+                        precision=_prec(cdt),
+                        preferred_element_type=jnp.float32).astype(feats.dtype)
+    dw = jnp.einsum("vc,vko->kco", feats.astype(cdt), bd,
+                    precision=_prec(cdt),
+                    preferred_element_type=jnp.float32)[::-1].astype(w.dtype)
+    return dfeats, dw, _float0(src_pack), _float0(bin_pack)
+
+
+_subm3gs.defvjp(_subm3gs_fwd, _subm3gs_bwd)
+
+
+def _subm3gp_impl(feats, w, src_pack, bin_pack, cdt):
+    from fusiontransformer_tpu.ops.pallas.binned_conv import binned_conv_fwd
+    cin, cout = w.shape[1], w.shape[2]
+    g = pad_row(feats.astype(cdt))[src_pack]                # [V/8, S, C]
+    return binned_conv_fwd(g, bin_pack,
+                           w.astype(cdt).reshape(27 * cin, cout),
+                           precise=(cdt == jnp.float32), grouped=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _subm3gp(feats, w, src_pack, bin_pack, cdt):
+    return _subm3gp_impl(feats, w, src_pack, bin_pack, cdt)
+
+
+def _subm3gp_fwd(feats, w, src_pack, bin_pack, cdt):
+    return (_subm3gp_impl(feats, w, src_pack, bin_pack, cdt),
+            (feats, w, src_pack, bin_pack))
+
+
+def _subm3gp_bwd(cdt, res, dout):
+    from fusiontransformer_tpu.ops.pallas.binned_conv import binned_conv_bwd
+    feats, w, src_pack, bin_pack = res
+    gd = pad_row(dout.astype(cdt))[src_pack]                # [V/8, S, Co]
+    dx, dw = binned_conv_bwd(gd, bin_pack, feats.astype(cdt),
+                             w.astype(cdt), precise=(cdt == jnp.float32),
+                             grouped=True)
+    return (dx.astype(feats.dtype), dw.astype(w.dtype),
+            _float0(src_pack), _float0(bin_pack))
+
+
+_subm3gp.defvjp(_subm3gp_fwd, _subm3gp_bwd)
+
+
+# --------------------------------------------------------------------------- #
 # ks=3 fused Pallas binned path (ops/pallas/binned_conv.py).
 #
 # Same K-slot row reduction as _subm3s, but binning + weight contraction run
@@ -335,6 +440,18 @@ def subm_conv3(feats, w, nbr_idx, compute_dtype=jnp.bfloat16, slot_idx=None):
     """
     if slot_idx is not None:
         src, tap = slot_idx
+        if src.shape[0] != feats.shape[0]:
+            # Group-pooled maps [V/8, S] (host-built; tap holds bin ids).
+            if _SLOT_BACKEND == "pallas" and jax.default_backend() == "tpu":
+                if (feats.shape[-1] >= _PALLAS_MIN_CIN
+                        and max(feats.shape[-1], w.shape[-1]) <= _PALLAS_MAX_CH
+                        and feats.shape[0] % 8 == 0):
+                    return _subm3gp(feats, w, src, tap, compute_dtype)
+                # Wide-channel shapes keep the dense path (same routing as
+                # the per-voxel maps — the XLA binned path never wins on
+                # TPU).
+                return _subm3(feats, w, nbr_idx, compute_dtype)
+            return _subm3gs(feats, w, src, tap, compute_dtype)
         if _SLOT_BACKEND == "pallas":
             if jax.default_backend() != "tpu":
                 # Product configs ship CONV_PALLAS=True; on CPU/GPU hosts

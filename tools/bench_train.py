@@ -81,6 +81,27 @@ def main():
     print(f"level caps: {caps}", file=sys.stderr)
     batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
                                    "pt_valid", "img", "img_indices")}
+    # FTX_BENCH_SLOT_POOL=1: host-built group-pooled slot maps (the r5
+    # swing, ops/host_slots.py) — exact loader-side compaction replaces the
+    # per-voxel K=16 device maps.  The host build is timed and reported
+    # (in production it overlaps the device step via the MP loader).
+    if os.environ.get("FTX_BENCH_SLOT_POOL", "0") == "1":
+        from fusiontransformer_tpu.ops.host_slots import build_batch_slot_maps
+        coords_list = [np.asarray(ds[i]["coords"])[:CAPACITY]
+                       for i in range(BATCH)]
+        t0 = time.time()
+        maps, overflow = build_batch_slot_maps(coords_list, caps,
+                                               slot_levels=[0, 1, 2, 3])
+        host_ms = (time.time() - t0) * 1e3
+        assert overflow == 0, overflow
+        sizes = {l: maps[l][0].shape[1] for l in maps}
+        nbytes = sum(a.nbytes + b.nbytes for a, b in maps.values())
+        print(f"host slot maps: {host_ms:.1f} ms/batch, pool sizes {sizes}, "
+              f"{nbytes/1e6:.1f} MB H2D (vs 128 rows/group at K=16)",
+              file=sys.stderr)
+        for l, (src, binp) in maps.items():
+            batch[f"gslot_src_{l}"] = src
+            batch[f"gslot_bin_{l}"] = binp
     batch = jax.device_put(batch)
 
     model = build_model(cfg)[0]
