@@ -52,14 +52,6 @@ class DistributedTrainer(SemanticTrainer):
         self.model_parallel = int(cfg.TPU.MODEL_PARALLEL) \
             if "MODEL_PARALLEL" in cfg.TPU else 1
         self._eval_spd = None    # set below when eval shards over the mesh
-        if self._adaptive_caps and self.model_parallel > 1:
-            # Adaptive caps rebuild the train step per capacity tuple; the
-            # TP step builder splits params by path rules and is not cached
-            # per tuple — shape-derived caps stay under tensor parallelism.
-            self.logger.warning(
-                "TPU.ADAPTIVE_LEVEL_CAPS does not compose with "
-                "TPU.MODEL_PARALLEL > 1; using shape-derived capacities")
-            self._adaptive_caps = False
         if self.model_parallel > 1:
             self._init_tensor_parallel(cfg, n_dev)
             return
@@ -185,7 +177,17 @@ class DistributedTrainer(SemanticTrainer):
         if fn is None:
             self.logger.info("ADAPTIVE_LEVEL_CAPS: tracing sharded train "
                              "step for per-device capacities %s", caps)
-            if self.zero_optimizer:
+            if self.model_parallel > 1:
+                # TP composes the same way as DP (r4 VERDICT weak #4): the
+                # params were split once at init; only the step is rebuilt
+                # per capacity tuple, against the TP-sharded model.
+                step_fn, _ = make_train_step(
+                    self.cfg, self._model_tp, self.tx,
+                    self.scans_per_device, axis_name="data",
+                    level_caps=caps)
+                fn = self._tp.shard_train_step_2d(step_fn, self.mesh,
+                                                  self.scans_per_device)
+            elif self.zero_optimizer:
                 tx_zero = self._zero.zero1(self.tx, "data", self.n_dev)
                 step_fn, _ = make_train_step(
                     self.cfg, self.model, tx_zero, self.scans_per_device,
@@ -203,6 +205,15 @@ class DistributedTrainer(SemanticTrainer):
         return fn
 
     def _eval_step_for(self, host_batch):
+        if self.model_parallel > 1:
+            # Eval rides the canonical tp=1 model on merged params (see
+            # _init_tensor_parallel); the per-caps steps from the base class
+            # expect canonical params, so wrap them with the merged state.
+            base = super()._eval_step_for(host_batch)
+            if base is self.eval_step_fn:     # already the merged wrapper
+                return base
+            return lambda state, batch: base(self._merged_state(state),
+                                             batch)
         if self._eval_spd is None:
             # Host-local eval step (multi-host or indivisible val batch):
             # no cross-rank collectives inside the step, so each host may
@@ -274,6 +285,7 @@ class DistributedTrainer(SemanticTrainer):
             self.steps_per_epoch = max(1, len(self.train_dataloader))
 
         model_tp = build_model(cfg, vit_tp=mp, vit_tp_axis="model")[0]
+        self._model_tp = model_tp   # adaptive-caps step rebuilds need it
         self.state = self.state._replace(
             params=tp_lib.split_params_for_tp(
                 self.state.params, mp, self._tp_heads),
