@@ -169,7 +169,7 @@ def build_flagship(batch_size, wd=None):
     # FTX_BENCH_SLOT_POOL=1: host-built group-pooled slot maps
     # (ops/host_slots.py, r5) instead of the per-voxel K-slot device maps.
     gslot = {}
-    if os.environ.get("FTX_BENCH_SLOT_POOL", "0") == "1":
+    if os.environ.get("FTX_BENCH_SLOT_POOL", "1") == "1":
         from fusiontransformer_tpu.ops.host_slots import build_batch_slot_maps
         coords_list = [np.asarray(ds[i]["coords"])[:CAPACITY]
                        for i in range(batch_size)]

@@ -287,6 +287,23 @@ _C.TPU.CONV_TAP_SLOTS = (16, 16, 16, 16, 0)
 # XLA one-hot formulation instead (same math; Mosaic interpret mode is a
 # debug tool, not a product path).
 _C.TPU.CONV_PALLAS = True
+# Host-built GROUP-POOLED slot maps (ops/host_slots.py, r5): the loader
+# joins ks3 neighbors per scan and pools slots per 8-voxel kernel group —
+# exact compaction the device build cannot afford (measured pool sizes
+# 80-96 of the 128 rows/group the K=16 maps gather; train step 138 -> 118
+# ms, inference 45.97 -> 52.8 scans/s on v5e).  Applies on single-device
+# single-process topologies for the levels where CONV_TAP_SLOTS is
+# nonzero; other topologies keep the per-voxel K-slot maps (data/build.py
+# gates).  SLOT_POOL_QUANTUM ladders the per-batch pool size S (multiples
+# of this) to bound retraces.
+_C.TPU.CONV_SLOT_POOL = True
+_C.TPU.SLOT_POOL_QUANTUM = 16
+# LRU bound on cached per-capacity jitted steps (train + eval each).  Every
+# live compiled step retains ~1-1.2 GB of host memory on this stack and the
+# adaptive ladders mint new tuples over a long run (the r5-diagnosed RSS
+# driver); evicted steps re-load from the persistent XLA compile cache in
+# seconds on a re-hit.  <= 0 disables eviction.
+_C.TPU.STEP_CACHE_SIZE = 16
 # Compute dtype for matmul-heavy paths: "bfloat16" or "float32".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Data-parallel mesh size (1 = single chip). 0 = use all visible devices.

@@ -87,10 +87,15 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
     n_levels = (1 + len(cfg.TPU.LEVEL_CAPACITY_FRACTIONS)
                 if ("ADAPTIVE_LEVEL_CAPS" in cfg.TPU
                     and cfg.TPU.ADAPTIVE_LEVEL_CAPS) else 0)
+    slot_pool = _slot_pool_spec(cfg, use_lidar_model=cfg.MODEL.USE_LIDAR,
+                                world_size=world_size)
+    if slot_pool is not None and not n_levels:
+        n_levels = slot_pool.num_levels
     collate = get_collate(is_train=is_train, batch_size=batch_size,
                           point_capacity=cfg.TPU.POINT_CAPACITY,
                           image_height=image_height, image_width=image_width,
-                          capacity_buckets=buckets, level_counts=n_levels)
+                          capacity_buckets=buckets, level_counts=n_levels,
+                          slot_pool=slot_pool)
     # NUM_WORKERS > 0 forks a worker pool (torch-DataLoader equivalent:
     # decode/augment/quantize/collate in parallel); 0 keeps a single
     # prefetch thread so the host still overlaps the device step.
@@ -98,6 +103,39 @@ def build_dataloader(cfg, mode="train", use_distributed=False, rank=0,
                       drop_last=False, seed=seed + cfg.RNG_SEED,
                       prefetch=max(1, cfg.DATALOADER.NUM_WORKERS),
                       num_workers=cfg.DATALOADER.NUM_WORKERS)
+
+
+def _slot_pool_spec(cfg, use_lidar_model, world_size):
+    """Host-built group-pooled slot maps (TPU.CONV_SLOT_POOL, the r5 fast
+    path): enabled on SINGLE-device single-process topologies only — the
+    maps are assembled against the whole-batch hierarchy layout, while
+    data-parallel steps build hierarchies per device shard (per-shard
+    assembly is future work; those paths keep the per-voxel K-slot maps).
+    """
+    if not ("CONV_SLOT_POOL" in cfg.TPU and cfg.TPU.CONV_SLOT_POOL):
+        return None
+    if not use_lidar_model:
+        return None
+    if world_size > 1:
+        return None
+    n_dev = cfg.TPU.NUM_DEVICES
+    if not n_dev:
+        import jax       # resolve the live topology only when needed
+        n_dev = jax.device_count()
+    if n_dev > 1 or (int(cfg.TPU.MODEL_PARALLEL)
+                     if "MODEL_PARALLEL" in cfg.TPU else 1) > 1:
+        return None
+    from fusiontransformer_tpu.ops.host_slots import SlotPoolSpec
+    slot_levels = [l for l, k in enumerate(cfg.TPU.CONV_TAP_SLOTS) if k]
+    if not slot_levels:
+        return None
+    adaptive = ("ADAPTIVE_LEVEL_CAPS" in cfg.TPU
+                and cfg.TPU.ADAPTIVE_LEVEL_CAPS)
+    quantum = (int(cfg.TPU.SLOT_POOL_QUANTUM)
+               if "SLOT_POOL_QUANTUM" in cfg.TPU else 16)
+    return SlotPoolSpec(slot_levels, cfg.TPU.L0_CAPACITY_FRACTION,
+                        cfg.TPU.LEVEL_CAPACITY_FRACTIONS,
+                        adaptive=adaptive, quantum=quantum)
 
 
 class _ShardedView:

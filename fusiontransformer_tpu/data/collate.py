@@ -41,7 +41,8 @@ def _level_voxel_counts(coords: np.ndarray, num_levels: int) -> np.ndarray:
 def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
                    image_height: int, image_width: int,
                    output_orig: bool = False, output_image: bool = True,
-                   capacity_buckets: tuple = (), level_counts: int = 0):
+                   capacity_buckets: tuple = (), level_counts: int = 0,
+                   slot_pool=None):
     b = batch_size
     cap = point_capacity
     if capacity_buckets:
@@ -117,16 +118,48 @@ def collate_padded(samples: List[Dict], batch_size: int, point_capacity: int,
                 np.asarray(s["coords"][:k]), level_counts)
             out["level_counts"] += cnt
             out["level_counts_per_scan"][i] = cnt
+
+    if slot_pool is not None:
+        # Host-built group-pooled conv slot maps (ops/host_slots.py, the
+        # r5 fast path): the worker walks each scan's Morton pyramid once
+        # more to join ks3 neighbors and emits pre-packed [cap/8, S] maps
+        # sized by the SAME capacity rule the trainer's step uses
+        # (slot_pool.caps_for == steps.adaptive_level_caps, pinned by
+        # test).  Requires level_counts (capacities follow the counts).
+        from fusiontransformer_tpu.ops.host_slots import (
+            assemble_grouped_slots, scan_levels, scan_slot_triples)
+        assert level_counts >= slot_pool.num_levels or not slot_pool.adaptive, (
+            "TPU.CONV_SLOT_POOL with adaptive caps needs level_counts for "
+            "capacity sizing")
+        tris, cnts = [], []
+        for i, s in enumerate(samples):
+            k = min(len(s["coords"]), cap)
+            levels = scan_levels(np.asarray(s["coords"][:k]),
+                                 slot_pool.num_levels)
+            tris.append(scan_slot_triples(levels, slot_pool.slot_levels))
+            cnts.append([len(lv["key"]) for lv in levels])
+        caps = slot_pool.caps_for(
+            n, out.get("level_counts", np.zeros(slot_pool.num_levels,
+                                                np.int64)))
+        maps, overflow = assemble_grouped_slots(
+            tris, np.asarray(cnts) if cnts else
+            np.zeros((0, slot_pool.num_levels), np.int64),
+            caps, slot_pool.slot_levels, quantum=slot_pool.quantum)
+        for l, (src, binp) in maps.items():
+            out[f"gslot_src_{l}"] = src
+            out[f"gslot_bin_{l}"] = binp
+        out["gslot_overflow"] = overflow
     return out
 
 
 def get_collate(is_train: bool, batch_size: int, point_capacity: int,
                 image_height: int, image_width: int, output_image: bool = True,
-                capacity_buckets: tuple = (), level_counts: int = 0):
+                capacity_buckets: tuple = (), level_counts: int = 0,
+                slot_pool=None):
     """Reference ``get_collate_scn`` analog: eval batches carry orig fields."""
     return partial(collate_padded, batch_size=batch_size,
                    point_capacity=point_capacity, image_height=image_height,
                    image_width=image_width, output_orig=not is_train,
                    output_image=output_image,
                    capacity_buckets=tuple(capacity_buckets),
-                   level_counts=level_counts)
+                   level_counts=level_counts, slot_pool=slot_pool)

@@ -137,8 +137,13 @@ class SemanticTrainer:
             cfg.TPU.ADAPTIVE_LEVEL_CAPS) if "ADAPTIVE_LEVEL_CAPS" in cfg.TPU \
             else False
         self._adaptive_caps = self._adaptive_caps and cfg.MODEL.USE_LIDAR
-        self._adaptive_train_steps = {}
-        self._adaptive_eval_steps = {}
+        # LRU-bounded: each live compiled step holds ~1 GB host-side and
+        # the ladders mint new tuples for the whole run (ROADMAP r5 leak).
+        from fusiontransformer_tpu.modules.steps import StepCache
+        cache_n = (int(cfg.TPU.STEP_CACHE_SIZE)
+                   if "STEP_CACHE_SIZE" in cfg.TPU else 16)
+        self._adaptive_train_steps = StepCache(cache_n)
+        self._adaptive_eval_steps = StepCache(cache_n)
 
         self.checkpointer = CheckpointerV2(
             save_dir=output_dir, logger=self.logger,
@@ -310,6 +315,9 @@ class SemanticTrainer:
             snap = memdiag.snapshot()
             self.logger.info("memdiag[%d]: %s", epoch,
                              memdiag.format_snapshot(snap))
+            tr = memdiag.trace_report()
+            if tr:
+                self.logger.info("memdiag[%d]: %s", epoch, tr)
             self._last_rss_mb = snap.get("rss_mb", 0.0)
         else:
             self._last_rss_mb = memdiag.rss_mb()
@@ -409,8 +417,12 @@ class SemanticTrainer:
                         self._grads_fn = jax.jit(make_grads_fn(
                             self.cfg, self.model,
                             self.cfg.TRAIN.BATCH_SIZE))
-                    grads = self._grads_fn(self.state, self._last_batch,
-                                           self._last_rng)
+                    # gslot maps are sized to the batch's adaptive caps;
+                    # the grads fn rebuilds the hierarchy at shape-derived
+                    # caps, so it uses the device slot path instead.
+                    gb = {k: v for k, v in self._last_batch.items()
+                          if not k.startswith(("gslot_src_", "gslot_bin_"))}
+                    grads = self._grads_fn(self.state, gb, self._last_rng)
                     for path, leaf in jax.tree_util.tree_flatten_with_path(
                             grads)[0]:
                         name = "/".join(

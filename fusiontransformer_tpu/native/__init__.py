@@ -56,6 +56,9 @@ def get_lib():
             lib.ftx_inbounds_mask.restype = ctypes.c_int32
             lib.ftx_inbounds_mask.argtypes = [f32p, ctypes.c_int32,
                                               ctypes.c_float, u8p]
+            lib.ftx_slot_triples.restype = ctypes.c_int32
+            lib.ftx_slot_triples.argtypes = [i64p, ctypes.c_int32,
+                                             ctypes.c_int32, i32p, i32p, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -80,6 +83,22 @@ def quantize(coords: np.ndarray):
     n_unique = lib.ftx_quantize(coords, n, unique_idx, inverse)
     return (unique_idx[:n_unique].astype(np.int64),
             inverse.astype(np.int64))
+
+
+def slot_triples(keys: np.ndarray, limit: int):
+    """Native ks3 live-neighbor join over one level's sorted unique Morton
+    keys -> (dst, tap, src) int32 triples, or None (numpy fallback lives in
+    ops.host_slots.scan_slot_triples)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.int64)
+    n = len(keys)
+    dst = np.empty(27 * n, np.int32)
+    tap = np.empty(27 * n, np.int32)
+    src = np.empty(27 * n, np.int32)
+    m = lib.ftx_slot_triples(keys, n, int(limit), dst, tap, src)
+    return dst[:m], tap[:m], src[:m]
 
 
 def map_labels(labels: np.ndarray, lut: np.ndarray):

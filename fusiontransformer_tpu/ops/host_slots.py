@@ -71,14 +71,16 @@ def scan_levels(coords, num_levels, full_scale_log2=12):
     """
     out = []
     c = np.asarray(coords, np.int64)
-    for l in range(num_levels):
-        cl = c >> l if l else c
-        key = morton36(cl)
-        if l:
-            key = np.unique(key)
-        else:
-            key = np.sort(key)
-        out.append({"key": key, "level": l})
+    key0 = np.sort(morton36(c))
+    out.append({"key": key0, "level": 0})
+    prev = key0
+    for l in range(1, num_levels):
+        # morton(c >> l) == morton(c) >> 3l and the shift preserves order,
+        # so each level is a unique() of the previous keys — no re-encode,
+        # no re-sort (the same invariant the device build rides).
+        p = prev >> 3
+        prev = p[np.concatenate(([True], p[1:] != p[:-1]))] if len(p) else p
+        out.append({"key": prev, "level": l})
     return out
 
 
@@ -93,6 +95,12 @@ def scan_slot_triples(levels, slot_levels, full_scale_log2=12):
       local to the scan's Morton-ordered level array.
     """
     out = {}
+    # The 26 non-center offsets, queried in ONE vectorized batch per level
+    # (the per-offset python loop cost ~3x the actual searchsorted work).
+    noc = np.concatenate([_OFFS[:13], _OFFS[14:]])          # [26, 3]
+    taps_noc = np.concatenate([np.arange(13), np.arange(14, 27)]).astype(
+        np.int32)
+    from fusiontransformer_tpu import native
     for l in slot_levels:
         key = levels[l]["key"]
         n = len(key)
@@ -101,29 +109,26 @@ def scan_slot_triples(levels, slot_levels, full_scale_log2=12):
             out[l] = (z, z, z)
             continue
         limit = 1 << (full_scale_log2 - l)
-        # Decode coords once from the level keys (exact inverse of morton36
-        # is not needed: level keys were built from coords >> l, but we
-        # only have keys for l > 0 — rebuild coords by bit extraction).
+        tri = native.slot_triples(key, limit)   # C++ fast path (~10x numpy)
+        if tri is not None:
+            out[l] = tri
+            continue
         coords = _coords_from_morton(key)
-        dst_all, tap_all, src_all = [], [], []
         idx = np.arange(n, dtype=np.int32)
-        for t, off in enumerate(_OFFS):
-            if t == 13:
-                dst_all.append(idx)
-                tap_all.append(np.full(n, 13, np.int32))
-                src_all.append(idx)
-                continue
-            q = coords + off
-            inb = np.all((q >= 0) & (q < limit), axis=1)
-            qk = morton36(q)
-            pos = np.searchsorted(key, qk)
-            pos_c = np.minimum(pos, n - 1) if n else pos
-            hit = inb & (n > 0) & (key[pos_c] == qk)
-            dst_all.append(idx[hit])
-            tap_all.append(np.full(int(hit.sum()), t, np.int32))
-            src_all.append(pos_c[hit].astype(np.int32))
-        out[l] = (np.concatenate(dst_all), np.concatenate(tap_all),
-                  np.concatenate(src_all))
+
+        q = coords[None, :, :] + noc[:, None, :]            # [26, n, 3]
+        inb = ((q[..., 0] >= 0) & (q[..., 0] < limit)
+               & (q[..., 1] >= 0) & (q[..., 1] < limit)
+               & (q[..., 2] >= 0) & (q[..., 2] < limit))    # [26, n]
+        qk = morton36(q.reshape(-1, 3)).reshape(26, n)
+        pos = np.searchsorted(key, qk.reshape(-1)).reshape(26, n)
+        pos_c = np.minimum(pos, n - 1)
+        hit = inb & (key[pos_c] == qk)
+        tap26, dst26 = np.nonzero(hit)
+        out[l] = (
+            np.concatenate([dst26.astype(np.int32), idx]),
+            np.concatenate([taps_noc[tap26], np.full(n, 13, np.int32)]),
+            np.concatenate([pos_c[tap26, dst26].astype(np.int32), idx]))
     return out
 
 
@@ -195,8 +200,13 @@ def assemble_grouped_slots(scan_triples, scan_counts, level_caps,
 
         group = dst >> 3
         binid = tap.astype(np.int64) * 8 + (dst & 7)
-        order = np.argsort(group, kind="stable")
-        g_s, b_s, s_s = group[order], binid[order], src[order]
+        if len(group) == 0 or (np.diff(group) >= 0).all():
+            # Native triples are voxel-major and scans concatenate in
+            # order, so the group key is already sorted — skip the sort.
+            g_s, b_s, s_s = group, binid, src
+        else:
+            order = np.argsort(group, kind="stable")
+            g_s, b_s, s_s = group[order], binid[order], src[order]
         # Slot rank within each group: position minus the group's start.
         start = np.searchsorted(g_s, g_s)      # first index of each value
         rank = np.arange(len(g_s)) - start
@@ -214,6 +224,52 @@ def assemble_grouped_slots(scan_triples, scan_counts, level_caps,
         bin_pack[g_s, rank] = b_s
         maps[l] = (src_pack, bin_pack)
     return maps, overflow
+
+
+class SlotPoolSpec:
+    """Picklable recipe the collate workers use to build grouped slot maps.
+
+    Carries the capacity-sizing logic (a jax-free mirror of
+    ``modules.steps.level_caps_for_n`` / ``adaptive_level_caps`` — workers
+    must not import jax; equality is pinned by
+    ``tests/test_host_slots.py::test_slot_pool_spec_caps_match_steps``) so
+    the worker-side array shapes agree exactly with the trainer's jitted
+    step shapes.
+    """
+
+    def __init__(self, slot_levels, l0_fraction, level_fractions,
+                 adaptive=True, quantum=16):
+        self.slot_levels = tuple(slot_levels)
+        self.l0_fraction = float(l0_fraction)
+        self.level_fractions = tuple(level_fractions)
+        self.adaptive = bool(adaptive)
+        self.quantum = int(quantum)
+        self.num_levels = 1 + len(self.level_fractions)
+
+    # -- mirrors steps.level_caps_for_n ---------------------------------- #
+    def static_caps(self, n_total):
+        caps = [min(n_total,
+                    max(128, int(round(n_total * self.l0_fraction
+                                       / 128.0)) * 128))]
+        for frac in self.level_fractions:
+            caps.append(max(128, int(round(caps[-1] * frac / 128.0)) * 128))
+        return tuple(caps)
+
+    # -- mirrors steps._ladder_cap / adaptive_level_caps ------------------ #
+    @staticmethod
+    def _ladder_cap(count):
+        n = max(1, -(-int(count) // 128))
+        lad = 1
+        while lad < n:
+            lad = max(lad + 1, int(lad * 1.25))
+        return lad * 128
+
+    def caps_for(self, n_total, level_counts):
+        static = self.static_caps(n_total)
+        if not self.adaptive:
+            return static
+        return tuple(min(s, self._ladder_cap(c))
+                     for s, c in zip(static, list(level_counts)))
 
 
 def build_batch_slot_maps(scan_coords_list, level_caps, slot_levels,

@@ -100,7 +100,9 @@ def make_predict_step(cfg, model):
             overflow = sum(jnp.maximum(l.nvalid_raw - l.valid.shape[0], 0)
                            for l in hier.levels)
             ts = norm_tap_slots(cfg, len(hier.levels))
-            if any(ts):
+            if any(ts) and "gslot_src_0" not in batch:
+                # Host-built grouped maps (gslot_*) are exactly compacted
+                # by the loader; the per-voxel K accounting doesn't apply.
                 overflow = overflow + tap_overflow(hier, ts)
             res["voxel_overflow"] = jnp.full(res["pred"].shape, overflow,
                                              jnp.int32)
@@ -213,6 +215,23 @@ class InferenceEngine:
         else:
             step, self._pred_keys = make_predict_step(cfg, self.model)
             self._fn = jax.jit(step)
+        # Host-built group-pooled slot maps (ops/host_slots.py): live
+        # single-device serving runs the same r5 fast path as training.
+        # Gated off for AOT artifacts (their input signature is fixed by
+        # the manifest) and sharded serving (per-shard assembly is future
+        # work).  The per-batch pool size S is quantum-laddered, so new S
+        # rungs retrace exactly like capacity buckets do.
+        self._slot_pool = None
+        if (not exported_dir and num_devices == 1 and cfg.MODEL.USE_LIDAR
+                and "CONV_SLOT_POOL" in cfg.TPU and cfg.TPU.CONV_SLOT_POOL
+                and any(cfg.TPU.CONV_TAP_SLOTS)):
+            from fusiontransformer_tpu.ops.host_slots import SlotPoolSpec
+            self._slot_pool = SlotPoolSpec(
+                [l for l, k in enumerate(cfg.TPU.CONV_TAP_SLOTS) if k],
+                cfg.TPU.L0_CAPACITY_FRACTION,
+                cfg.TPU.LEVEL_CAPACITY_FRACTIONS, adaptive=False,
+                quantum=(int(cfg.TPU.SLOT_POOL_QUANTUM)
+                         if "SLOT_POOL_QUANTUM" in cfg.TPU else 16))
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.counters = {
@@ -292,7 +311,7 @@ class InferenceEngine:
         batch = collate_padded(
             samples, self.batch_size, self.point_capacity,
             self.image_height, self.image_width, output_orig=True,
-            capacity_buckets=self.buckets)
+            capacity_buckets=self.buckets, slot_pool=self._slot_pool)
         with self._device_lock:
             # Explicit async device_put: jit called on numpy arguments
             # blocks on the H2D copy, which would serialize transfers with
@@ -340,7 +359,8 @@ class InferenceEngine:
                 c["batches"] += 1
                 c["collate_dropped_points"] += int(batch["num_dropped"])
                 c["oob_points"] += oob_total
-                c["voxel_overflow"] += overflow
+                c["voxel_overflow"] += overflow \
+                    + int(batch.get("gslot_overflow", 0))
                 c["bucket_hits"][cap] = c["bucket_hits"].get(cap, 0) + 1
         return results
 

@@ -183,3 +183,95 @@ def test_assembly_scan_boundary_groups():
     grouped = sc._subm3gs(feats, w, src_pack, bin_pack, jnp.float32)
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_slot_pool_spec_caps_match_steps():
+    """SlotPoolSpec's jax-free capacity logic must equal the trainer's
+    (steps.level_caps_for_n / adaptive_level_caps) — the worker-built map
+    shapes and the jitted step shapes agree only through this equality."""
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.modules.steps import (adaptive_level_caps,
+                                                     level_caps_for_n)
+    from fusiontransformer_tpu.ops.host_slots import SlotPoolSpec
+
+    cfg = get_default_cfg()
+    spec = SlotPoolSpec([0, 1, 2, 3], cfg.TPU.L0_CAPACITY_FRACTION,
+                        cfg.TPU.LEVEL_CAPACITY_FRACTIONS, adaptive=True)
+    rng = np.random.RandomState(0)
+    for n_total in (2560, 20480, 61440, 163840):
+        counts = rng.randint(1, n_total, size=spec.num_levels)
+        assert spec.static_caps(n_total) == level_caps_for_n(cfg, n_total)
+        assert spec.caps_for(n_total, counts) == \
+            adaptive_level_caps(cfg, n_total, counts)
+
+
+def test_collate_emits_grouped_slot_maps():
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.ops.host_slots import SlotPoolSpec
+
+    cfg = get_default_cfg()
+    spec = SlotPoolSpec([0, 1, 2], cfg.TPU.L0_CAPACITY_FRACTION,
+                        cfg.TPU.LEVEL_CAPACITY_FRACTIONS, adaptive=True)
+    ds = SyntheticSCN(split=("train",), num_scans=2, num_points=500)
+    batch = collate_padded([ds[i] for i in range(2)], 2, 640, 37, 61,
+                           output_image=False,
+                           level_counts=spec.num_levels, slot_pool=spec)
+    assert batch["gslot_overflow"] == 0
+    caps = spec.caps_for(2 * 640, batch["level_counts"])
+    for l in (0, 1, 2):
+        src, binp = batch[f"gslot_src_{l}"], batch[f"gslot_bin_{l}"]
+        assert src.shape == binp.shape and src.shape[0] == caps[l] // 8
+        assert src.shape[1] % spec.quantum == 0
+        live = binp < 216
+        # every live slot points at a real voxel; sentinels at cap
+        assert (src[live] < caps[l]).all()
+        assert (src[~live] == caps[l]).all()
+        # bin ids are unique within a group (one row per (tap, voxel) bin)
+        g, s = np.nonzero(live)
+        pairs = g.astype(np.int64) * 216 + binp[live]
+        assert len(np.unique(pairs)) == len(pairs)
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end_with_slot_pool(tmp_path):
+    """SemanticTrainer with TPU.CONV_SLOT_POOL on (single CPU device
+    config): the loader emits grouped maps, the step consumes them (no
+    device slot build), training + validation run, zero overflow."""
+    from fusiontransformer_tpu.config.defaults import get_default_cfg
+    from fusiontransformer_tpu.modules.SemanticTrainer import SemanticTrainer
+
+    cfg = get_default_cfg()
+    cfg.MODEL.TYPE = "LidarSeg"
+    cfg.MODEL.NUM_CLASSES = 20
+    cfg.MODEL.USE_LIDAR = True
+    cfg.DATASET.TYPE = "SyntheticSCN"
+    cfg.DATASET.TRAIN = ("train",)
+    cfg.DATASET.VAL = ("val",)
+    cfg.DATASET.SyntheticSCN.num_scans = 4
+    cfg.DATASET.SyntheticSCN.num_points = 150
+    cfg.DATASET.SyntheticSCN.image_width = 122
+    cfg.DATASET.SyntheticSCN.image_height = 37
+    cfg.OPTIMIZER.TYPE = "Adam"
+    cfg.OPTIMIZER.BASE_LR = 1e-3
+    cfg.SCHEDULER.MAX_EPOCH = 1
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.VAL.BATCH_SIZE = 2
+    cfg.VAL.PERIOD = 1
+    cfg.TPU.POINT_CAPACITY = 320
+    cfg.TPU.ADAPTIVE_LEVEL_CAPS = True
+    cfg.TPU.CONV_SLOT_POOL = True
+    cfg.TPU.NUM_DEVICES = 1     # the slot-pool gate needs the topology
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.freeze()
+
+    trainer = SemanticTrainer(cfg, str(tmp_path), "slotpool_run")
+    # the loader must actually emit grouped maps
+    probe = next(iter(trainer.train_dataloader))
+    assert "gslot_src_0" in probe and probe["gslot_overflow"] == 0
+    trainer.train()
+    assert trainer.train_metric_logger.meters["voxel_overflow"].global_avg \
+        == 0.0
+    loss = trainer.train_metric_logger.meters["seg_loss_3d"].global_avg
+    assert np.isfinite(loss)
+    assert "seg_iou_3d" in trainer.val_metric_logger.meters

@@ -85,6 +85,19 @@ def bench_family(name):
                            img_h, img_w)
     batch = {k: batch[k] for k in ("coords", "feats", "seg_label", "pt_batch",
                                    "pt_valid", "img", "img_indices")}
+    # Product default: host-built group-pooled slot maps (static caps to
+    # match this bench's eval step; FTX_BENCH_SLOT_POOL=0 to A/B off).
+    if use_lidar and os.environ.get("FTX_BENCH_SLOT_POOL", "1") == "1":
+        from fusiontransformer_tpu.ops.host_slots import build_batch_slot_maps
+        caps = level_caps_from_cfg(cfg, BATCH)
+        maps, overflow = build_batch_slot_maps(
+            [np.asarray(ds[i]["coords"])[:capacity] for i in range(BATCH)],
+            caps, slot_levels=[l for l, k in
+                               enumerate(cfg.TPU.CONV_TAP_SLOTS) if k])
+        assert overflow == 0, overflow
+        for l, (src, binp) in maps.items():
+            batch[f"gslot_src_{l}"] = src
+            batch[f"gslot_bin_{l}"] = binp
     batch = jax.device_put(batch)
 
     model = build_model(cfg)[0]

@@ -85,7 +85,7 @@ def main():
     # swing, ops/host_slots.py) — exact loader-side compaction replaces the
     # per-voxel K=16 device maps.  The host build is timed and reported
     # (in production it overlaps the device step via the MP loader).
-    if os.environ.get("FTX_BENCH_SLOT_POOL", "0") == "1":
+    if os.environ.get("FTX_BENCH_SLOT_POOL", "1") == "1":
         from fusiontransformer_tpu.ops.host_slots import build_batch_slot_maps
         coords_list = [np.asarray(ds[i]["coords"])[:CAPACITY]
                        for i in range(BATCH)]

@@ -178,7 +178,42 @@ def jax_forward(fam, sd, batch, n, vit_kw_jax, mid_block, late_block,
     else:
         out = model.apply({"params": p, "batch_stats": s}, model_in, hier,
                           train=False)
-    return {k: np.asarray(v)[:n] for k, v in out.items() if "logit" in k}
+    out = {k: np.asarray(v)[:n] for k, v in out.items() if "logit" in k}
+
+    # Host-built grouped slot maps (ops/host_slots.py, the r5 default fast
+    # path) must reproduce the SAME logits as the dense path that parity
+    # pins against torch — a second host-side implementation of the
+    # torchsparse join semantics is exactly where a silent convention
+    # drift would creep in (VERDICT r4 #8).  FTX_PARITY_SLOT_POOL=0 skips.
+    if (fam != "image"
+            and os.environ.get("FTX_PARITY_SLOT_POOL", "1") == "1"):
+        from fusiontransformer_tpu.ops.host_slots import \
+            build_batch_slot_maps
+        from fusiontransformer_tpu.ops.hierarchy import attach_grouped_slots
+        k_valid = int(np.asarray(batch["pt_valid"]).sum())
+        maps, ov = build_batch_slot_maps(
+            [np.asarray(batch["coords"])[:k_valid]], caps,
+            slot_levels=[0, 1, 2, 3])
+        assert ov == 0, f"host slot overflow {ov}"
+        gb = {f"gslot_src_{l}": jnp.asarray(m[0]) for l, m in maps.items()}
+        gb.update({f"gslot_bin_{l}": jnp.asarray(m[1])
+                   for l, m in maps.items()})
+        hier_g = attach_grouped_slots(hier, gb)
+        if train_bn:
+            out_g, _ = model.apply(
+                {"params": p, "batch_stats": s}, model_in, hier_g,
+                train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"])
+        else:
+            out_g = model.apply({"params": p, "batch_stats": s}, model_in,
+                                hier_g, train=False)
+        for k, v in out.items():
+            d = float(np.abs(np.asarray(out_g[k])[:n] - v).max())
+            log(f"  [{fam}] host-slot-pool vs dense {k}: max|d|={d:.2e}")
+            assert d < 2e-4, (
+                f"{fam}/{k}: host-built grouped maps diverge from the "
+                f"dense path by {d}")
+    return out
 
 
 def main():
