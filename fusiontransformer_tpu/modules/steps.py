@@ -51,6 +51,46 @@ def frozen_mask_fn(frozen_patterns):
     return mask
 
 
+class StepCache:
+    """LRU cache for per-capacity jitted steps (TPU.STEP_CACHE_SIZE).
+
+    Each live compiled step retains ~1-1.2 GB of host memory on this stack
+    (ROADMAP r5 leak diagnosis), and the adaptive-caps/slot-pool ladders
+    mint a slow trickle of new tuples over a long run — unbounded caching
+    is the dominant long-run RSS driver.  Evicting drops the executable
+    (GC frees it); a re-hit re-traces, which the persistent XLA compile
+    cache turns into a seconds-cheap disk load instead of a cold compile.
+    maxsize <= 0 disables eviction.
+    """
+
+    def __init__(self, maxsize=16):
+        from collections import OrderedDict
+        self.maxsize = int(maxsize)
+        self._d = OrderedDict()
+
+    def get(self, key):
+        fn = self._d.get(key)
+        if fn is not None:
+            self._d.move_to_end(key)
+        return fn
+
+    def __setitem__(self, key, fn):
+        self._d[key] = fn
+        self._d.move_to_end(key)
+        if self.maxsize > 0:
+            while len(self._d) > self.maxsize:
+                self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+    def __bool__(self):
+        return bool(self._d)
+
+    def __iter__(self):
+        return iter(self._d)
+
+
 class TrainState(NamedTuple):
     params: dict
     batch_stats: dict

@@ -147,7 +147,39 @@ def trim():
 
 
 def maybe_trim():
-    """Per-epoch trim hook, enabled by FTX_MALLOC_TRIM=1."""
-    if os.environ.get("FTX_MALLOC_TRIM", "") == "1":
+    """Per-epoch trim hook — ON by default (measured: returns 2-3 GB/epoch
+    of compile scratch + checkpoint-copy pages glibc otherwise holds
+    forever, ROADMAP r5 leak diagnosis); FTX_MALLOC_TRIM=0 disables."""
+    if os.environ.get("FTX_MALLOC_TRIM", "1") != "0":
         return trim()
     return False
+
+
+# --------------------------------------------------------------------- #
+# Python-allocation attribution (FTX_MEMDIAG_TRACE=1): discriminates a
+# python-object leak (tracemalloc total grows with RSS) from a native one
+# (tracemalloc flat while mallinfo's live bytes grow) and names the top
+# growing allocation sites.
+_trace_last = None
+
+
+def trace_report(top=5):
+    """Returns a one-line tracemalloc report (delta vs last call), or ""
+    when FTX_MEMDIAG_TRACE is off.  Starts tracing on first call."""
+    global _trace_last
+    if os.environ.get("FTX_MEMDIAG_TRACE", "") != "1":
+        return ""
+    import tracemalloc
+    if not tracemalloc.is_tracing():
+        tracemalloc.start(8)
+        _trace_last = tracemalloc.take_snapshot()
+        cur, peak = tracemalloc.get_traced_memory()
+        return f"pytrace started (current {cur/1e6:.0f} MB)"
+    snap = tracemalloc.take_snapshot()
+    cur, peak = tracemalloc.get_traced_memory()
+    stats = snap.compare_to(_trace_last, "lineno")[:top]
+    _trace_last = snap
+    tops = "; ".join(
+        f"{s.traceback[0].filename.split('/')[-1]}:"
+        f"{s.traceback[0].lineno} {s.size_diff/1e6:+.1f}MB" for s in stats)
+    return f"pytrace current {cur/1e6:.0f} MB, top growth: {tops}"
