@@ -41,6 +41,18 @@ SHAPES = {
     "nuscenes_middlefusion": (7_000, 8_192, 225, 400, 5),
 }
 
+# Per-family capacity fractions (L0, per-level).  KITTI-sized 18k-point
+# scans merge hard under downsampling (measured bench taper); NuScenes
+# frustum scans barely merge (L1 uniques ~ 0.87x L0 — same finding as the
+# synthetic.yaml comment), so the KITTI taper silently TRUNCATED levels at
+# these shapes (r2-r4 measured 93-95 scans/s on lossy clamped hierarchies;
+# the r5 host-built slot maps' overflow assert caught it).  Frustum shapes
+# get near-flat fractions; lossless-ness is asserted below.
+FRACTIONS = {
+    "default": (0.85, (0.67, 0.67, 0.55, 0.42)),
+    "nuscenes_middlefusion": (1.0, (0.9, 0.8, 0.7, 0.6)),
+}
+
 
 def bench_family(name):
     import jax
@@ -76,8 +88,9 @@ def bench_family(name):
             0 if mtype == "EarlyFusionTransformer" else 5
     cfg.VAL.BATCH_SIZE = BATCH
     cfg.TPU.POINT_CAPACITY = capacity
-    cfg.TPU.L0_CAPACITY_FRACTION = 0.85
-    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = (0.67, 0.67, 0.55, 0.42)
+    l0_frac, lvl_fracs = FRACTIONS.get(name, FRACTIONS["default"])
+    cfg.TPU.L0_CAPACITY_FRACTION = l0_frac
+    cfg.TPU.LEVEL_CAPACITY_FRACTIONS = lvl_fracs
 
     ds = SyntheticSCN(split=("train",), num_scans=BATCH, num_points=points,
                       image_width=img_w, image_height=img_h)
