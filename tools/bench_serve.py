@@ -77,6 +77,13 @@ def make_records(n):
 def main():
     n_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
+    # Stall watchdog (same as bench.py / bench_train.py): the r5 serving
+    # re-measure recorded a 75 s wedged sync mid-window — with the
+    # watchdog a wedged run self-reports within a heartbeat instead of
+    # silently poisoning the percentiles.
+    from fusiontransformer_tpu.utils.watchdog import Watchdog
+    wd = Watchdog()
+    wd.phase("backend init + engine build", budget_s=900)
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
@@ -94,9 +101,11 @@ def main():
 
     records = make_records(n_scans)
     print("warmup (compile)...", file=sys.stderr, flush=True)
+    wd.phase("warmup compile", budget_s=1200)
     t0 = time.perf_counter()
     engine.predict(records[0])
     print(f"  {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    wd.phase("measure sequential", budget_s=600)
 
     # Host-preprocess-only cost (what the server overlaps away).
     t0 = time.perf_counter()
@@ -113,6 +122,7 @@ def main():
     lats = np.asarray(lats)
 
     # Loaded-endpoint throughput (preproc threads overlap the device step).
+    wd.phase("measure server", budget_s=600)
     server = InferenceServer(engine, preproc_workers=2, batch_wait_ms=0.5)
     try:
         t0 = time.perf_counter()
@@ -124,6 +134,7 @@ def main():
     finally:
         server.close()
 
+    wd.stop()
     assert engine.stats()["voxel_overflow"] == 0
     print(json.dumps({
         "metric": "middlefusion_serving",

@@ -28,6 +28,13 @@ NUM_CLASSES = 20
 
 
 def main():
+    # Stall watchdog (same as bench.py): a wedged tunnel self-reports and
+    # exits 3 instead of hanging silently.  Backend init through the axon
+    # tunnel was observed to take 8 minutes and then RECOVER (r5), so its
+    # budget is 900 s, not bench.py's 300.
+    from fusiontransformer_tpu.utils.watchdog import Watchdog
+    wd = Watchdog()
+    wd.phase("backend init", budget_s=900)
     import jax
     import jax.numpy as jnp
     import optax
@@ -116,6 +123,7 @@ def main():
                                tap_slots=tuple(cfg.TPU.CONV_TAP_SLOTS))
         return model.init(jax.random.PRNGKey(0), batch, hier, train=False)
 
+    wd.phase("init compile+run", budget_s=900)
     t0 = time.time()
     variables = jax.block_until_ready(_init(batch))
     print(f"init {time.time()-t0:.1f}s", file=sys.stderr)
@@ -127,6 +135,7 @@ def main():
     step = jax.jit(step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
+    wd.phase("train-step compile", budget_s=1200)
     flops = None
     try:
         ca = step.lower(state, batch, rng).compile().cost_analysis()
@@ -142,6 +151,7 @@ def main():
     print(f"compile+first step {time.time()-t0:.1f}s", file=sys.stderr)
     assert int(np.asarray(metrics["voxel_overflow"])) == 0
 
+    wd.phase("measure", budget_s=300)
     for _ in range(3):
         state, metrics = step(state, batch, rng)
     np.asarray(metrics["total_loss"])
@@ -151,6 +161,7 @@ def main():
         state, metrics = step(state, batch, rng)
     np.asarray(metrics["total_loss"])
     dt = (time.time() - t0) / n
+    wd.stop()
     mfu = ""
     if flops:
         mfu = (f"  {flops/BATCH/1e9:.1f} GFLOP/scan"
